@@ -1,0 +1,160 @@
+"""Top-level image compress/decompress API.
+
+Reference counterpart: ``compress_image`` / ``decompress_image`` and the
+``CompressDecompress`` trait impls (src/compression.rs:250-441). Images are
+numpy arrays: ``(H, W)`` uint8/uint16 for grayscale, ``(H, W, 3)`` for RGB.
+``decompress_image`` dispatches on the header like the reference's
+``DynamicImage`` match (src/compression.rs:426-439) and returns the
+appropriately-typed array.
+
+Backends:
+  * ``"oracle"`` — sequential pure-Python codec (correctness oracle).
+  * ``"native"`` — the C++ runtime core (fast sequential, default when built).
+  * ``"jax"``    — the vectorized TPU encoder (encode only; single-stream
+                   decode is irreducibly serial and routes to native/oracle).
+  * ``"auto"``   — native if available, else oracle; jax for encode when a
+                   TPU/accelerator backend is initialized.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO, Union
+
+import numpy as np
+
+from felics_tpu import errors
+from felics_tpu.config import CodingConfig, config_for_depth
+from felics_tpu.coding.bitio import BitReader, BitWriter
+from felics_tpu.core import oracle
+from felics_tpu.core.color import rgb_to_ycocg, ycocg_to_rgb
+from felics_tpu.format import (
+    ColorType,
+    Header,
+    PixelDepth,
+    read_header,
+    write_header,
+)
+
+_DTYPES = {PixelDepth.EIGHT: np.uint8, PixelDepth.SIXTEEN: np.uint16}
+
+
+def _depth_for_array(image: np.ndarray) -> PixelDepth:
+    if image.dtype == np.uint8:
+        return PixelDepth.EIGHT
+    if image.dtype == np.uint16:
+        return PixelDepth.SIXTEEN
+    raise ValueError(f"unsupported dtype {image.dtype}; use uint8 or uint16")
+
+
+def header_for_array(image: np.ndarray) -> Header:
+    if image.ndim == 2:
+        color = ColorType.GRAY
+    elif image.ndim == 3 and image.shape[2] == 3:
+        color = ColorType.RGB
+    else:
+        raise ValueError("image must be (H, W) grayscale or (H, W, 3) RGB")
+    h, w = image.shape[:2]
+    return Header(color, _depth_for_array(image), w, h)
+
+
+def _resolve_backend(backend: str, for_encode: bool):
+    if backend == "auto":
+        from felics_tpu.native import runtime as native_runtime
+
+        if native_runtime.available():
+            return "native"
+        return "oracle"
+    return backend
+
+
+def compress_image(image: np.ndarray, to: BinaryIO, backend: str = "auto") -> None:
+    to.write(compress_image_bytes(image, backend=backend))
+
+
+def compress_image_bytes(image: np.ndarray, backend: str = "auto") -> bytes:
+    image = np.ascontiguousarray(image)
+    header = header_for_array(image)
+    backend = _resolve_backend(backend, for_encode=True)
+
+    if backend == "native":
+        from felics_tpu.native import runtime as native_runtime
+
+        return native_runtime.compress(image, header)
+    if backend == "jax":
+        from felics_tpu.core import jax_codec
+
+        return jax_codec.compress_image_bytes(image, header)
+    if backend != "oracle":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    config = config_for_depth(header.pixel_depth)
+    out = io.BytesIO()
+    write_header(header, out)
+    writer = BitWriter()
+    if header.color_type == ColorType.GRAY:
+        channel = image.reshape(-1).astype(np.int64)
+        oracle.compress_channel(channel, header.width, header.height, config, writer)
+    else:
+        planes = image.reshape(-1, 3).astype(np.int32)
+        y, co, cg = rgb_to_ycocg(planes[:, 0], planes[:, 1], planes[:, 2])
+        for chan in (y, co, cg):
+            oracle.compress_channel(
+                chan.astype(np.int64), header.width, header.height, config, writer
+            )
+    writer.byte_align()
+    out.write(writer.getvalue())
+    return out.getvalue()
+
+
+def decompress_image(from_: BinaryIO, backend: str = "auto") -> np.ndarray:
+    return decompress_image_bytes(from_.read(), backend=backend)
+
+
+def decompress_image_bytes(data: bytes, backend: str = "auto") -> np.ndarray:
+    header = read_header(io.BytesIO(data))
+    backend = _resolve_backend(backend, for_encode=False)
+
+    if backend == "native":
+        from felics_tpu.native import runtime as native_runtime
+
+        return native_runtime.decompress(data, header)
+    if backend == "jax":
+        from felics_tpu.core import jax_codec
+
+        return jax_codec.decompress_image_bytes(data, header)
+    if backend != "oracle":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    config = config_for_depth(header.pixel_depth)
+    dtype = _DTYPES[header.pixel_depth]
+    reader = BitReader(data, start_bit=14 * 8)
+    w, h = header.width, header.height
+
+    if header.color_type == ColorType.GRAY:
+        channel = oracle.decompress_channel(w, h, config, reader)
+        return _to_dtype(channel, dtype).reshape(h, w)
+
+    y = oracle.decompress_channel(w, h, config, reader)
+    co = oracle.decompress_channel(w, h, config, reader)
+    cg = oracle.decompress_channel(w, h, config, reader)
+    _check_i32(y), _check_i32(co), _check_i32(cg)
+    r, g, b = ycocg_to_rgb(
+        y.astype(np.int32), co.astype(np.int32), cg.astype(np.int32)
+    )
+    rgb = np.stack(
+        [_to_dtype(r, dtype), _to_dtype(g, dtype), _to_dtype(b, dtype)], axis=-1
+    )
+    return rgb.reshape(h, w, 3)
+
+
+def _check_i32(arr: np.ndarray) -> None:
+    if arr.size and (arr.min() < -(2**31) or arr.max() > 2**31 - 1):
+        raise errors.ValueOverflow("channel value overflows i32")
+
+
+def _to_dtype(channel: np.ndarray, dtype) -> np.ndarray:
+    info = np.iinfo(dtype)
+    if channel.size and (channel.min() < info.min or channel.max() > info.max):
+        raise errors.InvalidValue("decoded value does not fit the pixel depth")
+    return channel.astype(dtype)

@@ -1,0 +1,142 @@
+"""Sequential bit-exact oracle codec (pure Python/numpy).
+
+Behavioral twin of the reference's channel codec (src/compression.rs:76-248)
+and trait impls (src/compression.rs:250-410). Deliberately simple and slow —
+it exists to (a) pin the exact bitstream semantics and (b) oracle-test the
+vectorized TPU codec and the native C++ core against something independently
+derived from the spec.
+
+Stream layout per channel (bit-continuous; RGB channels are concatenated with
+a single byte-align at the very end, so later channels start at arbitrary bit
+offsets — src/compression.rs:365-369):
+
+  * zero-area image: two raw signed 32-bit zeros
+  * 1x1 image: the pixel then a raw signed 32-bit zero
+  * otherwise: the first two raster pixels raw as signed 32-bit, then per
+    pixel i in 2..W*H: a 1-2 bit range marker (IN=1, ABOVE=01, BELOW=00;
+    src/compression.rs:29-45), then either the phase-in code of ``p - L``
+    over ``n = context+1`` (in-range) or the Rice code of ``L-p-1`` /
+    ``p-H-1`` (below/above) at the adaptive k for that context, updating the
+    k-estimator with the encoded value.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from felics_tpu import errors
+from felics_tpu.coding.bitio import BitReader, BitWriter
+from felics_tpu.coding.phase_in import PhaseInCoder
+from felics_tpu.coding.rice import RiceCoder
+from felics_tpu.config import CodingConfig
+from felics_tpu.core.context import nearest_neighbours
+from felics_tpu.core.kestimator import KEstimator
+
+# Range-marker bit patterns (reference: src/compression.rs:29-61).
+_IN_RANGE = (1, 1)  # value, nbits
+_ABOVE_RANGE = (0b01, 2)
+_BELOW_RANGE = (0b00, 2)
+
+
+def compress_channel(
+    channel: np.ndarray,
+    width: int,
+    height: int,
+    config: CodingConfig,
+    bitwriter: BitWriter,
+) -> None:
+    channel = np.asarray(channel, dtype=np.int64)
+    total = width * height
+    if total > channel.size:
+        raise ValueError("channel is not big enough")
+
+    if width == 0 or height == 0:
+        bitwriter.write_signed32(0)
+        bitwriter.write_signed32(0)
+        return
+    if width == 1 and height == 1:
+        bitwriter.write_signed32(int(channel[0]))
+        bitwriter.write_signed32(0)
+        return
+    bitwriter.write_signed32(int(channel[0]))
+    bitwriter.write_signed32(int(channel[1]))
+
+    estimator = KEstimator(config.max_context, config.k_values, config.count_scaling)
+    coders = {k: RiceCoder(k) for k in config.k_values}
+
+    for i in range(2, total):
+        a, b = nearest_neighbours(i, width)
+        p = int(channel[i])
+        v1, v2 = int(channel[a]), int(channel[b])
+        h, l = max(v1, v2), min(v1, v2)
+        context = h - l
+        k = estimator.get_k(context)
+
+        if l <= p <= h:
+            bitwriter.write(_IN_RANGE[1], _IN_RANGE[0])
+            PhaseInCoder(context + 1).encode(bitwriter, p - l)
+        elif p < l:
+            bitwriter.write(_BELOW_RANGE[1], _BELOW_RANGE[0])
+            coders[k].encode(bitwriter, l - p - 1)
+            estimator.update(context, l - p - 1)
+        else:
+            bitwriter.write(_ABOVE_RANGE[1], _ABOVE_RANGE[0])
+            coders[k].encode(bitwriter, p - h - 1)
+            estimator.update(context, p - h - 1)
+
+
+def decompress_channel(
+    width: int,
+    height: int,
+    config: CodingConfig,
+    bitreader: BitReader,
+) -> np.ndarray:
+    pixel1 = bitreader.read_signed32()
+    pixel2 = bitreader.read_signed32()
+
+    if width == 0 or height == 0:
+        return np.zeros(0, dtype=np.int64)
+    if width == 1 and height == 1:
+        return np.array([pixel1], dtype=np.int64)
+
+    total = width * height
+    if total > 2**31:
+        raise errors.InvalidDimensions("image too large")
+    buf = np.zeros(total, dtype=np.int64)
+    buf[0], buf[1] = pixel1, pixel2
+
+    estimator = KEstimator(config.max_context, config.k_values, config.count_scaling)
+    coders = {k: RiceCoder(k) for k in config.k_values}
+    i32_min, i32_max = -(2**31), 2**31 - 1
+
+    for i in range(2, total):
+        a, b = nearest_neighbours(i, width)
+        v1, v2 = int(buf[a]), int(buf[b])
+        h, l = max(v1, v2), min(v1, v2)
+        context = h - l
+        if context > config.max_context:
+            # Only reachable on corrupt streams: valid pixel values keep
+            # H - L within MAX_CONTEXT (the reference panics here instead).
+            raise errors.InvalidValue("context exceeds MAX_CONTEXT")
+        k = estimator.get_k(context)
+
+        first = bitreader.read_bit()
+        if first:  # in range
+            p = PhaseInCoder(context + 1).decode(bitreader)
+            value = p + l
+        else:
+            above = bitreader.read_bit()
+            encoded = coders[k].decode(bitreader)
+            estimator.update(context, encoded)
+            if encoded > i32_max:
+                raise errors.InvalidValue("decoded residual does not fit i32")
+            if above:
+                value = encoded + h + 1
+            else:
+                value = l - encoded - 1
+        if not i32_min <= value <= i32_max:
+            raise errors.ValueOverflow("decoded pixel overflows i32")
+        buf[i] = value
+    return buf

@@ -1,0 +1,149 @@
+"""ctypes loader for the native C++ codec core.
+
+The shared library is built from native/src/felics_core.cpp (see
+native/build.py). If it has not been built, ``available()`` returns False and
+callers fall back to the Python oracle.
+
+C ABI:
+    int fel_compress(const int32_t* pixels_interleaved, uint32_t width,
+                     uint32_t height, int color_type, int pixel_depth,
+                     uint8_t** out, size_t* out_len);
+    int fel_decompress(const uint8_t* data, size_t len,
+                       int32_t** out_pixels, uint32_t* width,
+                       uint32_t* height, int* color_type, int* pixel_depth);
+    void fel_free(void* ptr);
+
+Return codes mirror felics_tpu.errors (0 = ok; negative = error enum).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from felics_tpu import errors
+from felics_tpu.format import ColorType, Header, PixelDepth
+
+_LIB_NAME = "libfelics_core.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+_ERROR_MAP = {
+    -1: errors.IoError,
+    -2: errors.InvalidValue,
+    -3: errors.ValueOverflow,
+    -4: errors.InvalidDimensions,
+    -5: errors.InvalidColorType,
+    -6: errors.InvalidPixelDepth,
+    -7: errors.InvalidSignature,
+    -8: MemoryError,
+}
+
+
+def _lib_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(os.path.dirname(here), "native", "build", _LIB_NAME)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    path = os.environ.get("FELICS_TPU_NATIVE_LIB", _lib_path())
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.fel_compress.restype = ctypes.c_int
+    lib.fel_compress.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fel_decompress.restype = ctypes.c_int
+    lib.fel_decompress.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fel_free.restype = None
+    lib.fel_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _raise(code: int) -> None:
+    exc = _ERROR_MAP.get(code, errors.DecompressionError)
+    raise exc(f"native codec error {code}")
+
+
+def compress(image: np.ndarray, header: Header) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run native/build.py")
+    flat = np.ascontiguousarray(image.reshape(-1), dtype=np.int32)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    code = lib.fel_compress(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        header.width,
+        header.height,
+        int(header.color_type),
+        int(header.pixel_depth),
+        ctypes.byref(out_ptr),
+        ctypes.byref(out_len),
+    )
+    if code != 0:
+        _raise(code)
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.fel_free(out_ptr)
+
+
+def decompress(data: bytes, header: Header) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run native/build.py")
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out_ptr = ctypes.POINTER(ctypes.c_int32)()
+    width = ctypes.c_uint32()
+    height = ctypes.c_uint32()
+    color = ctypes.c_int()
+    depth = ctypes.c_int()
+    code = lib.fel_decompress(
+        buf,
+        len(data),
+        ctypes.byref(out_ptr),
+        ctypes.byref(width),
+        ctypes.byref(height),
+        ctypes.byref(color),
+        ctypes.byref(depth),
+    )
+    if code != 0:
+        _raise(code)
+    try:
+        nchan = 1 if color.value == int(ColorType.GRAY) else 3
+        n = width.value * height.value * nchan
+        arr = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    finally:
+        lib.fel_free(out_ptr)
+    dtype = np.uint8 if depth.value == int(PixelDepth.EIGHT) else np.uint16
+    if nchan == 1:
+        return arr.astype(dtype).reshape(height.value, width.value)
+    return arr.astype(dtype).reshape(height.value, width.value, 3)
