@@ -1,0 +1,544 @@
+// felics_core — native runtime core for felics_tpu.
+//
+// A from-scratch C++ implementation of the FELICS codec semantics pinned by
+// felics_tpu/core/oracle.py (behavioral reference: visanalexandru/felics,
+// src/compression.rs:76-248 and src/coding/*). This is the fast sequential
+// path of the framework: single-stream FLCS decode is irreducibly serial at
+// pixel granularity (each pixel's context needs previously decoded pixels and
+// the adaptive k tables need every prior out-of-range residual), so the
+// production decode path is native; the TPU owns the parallel encode and the
+// tiled (FLCT) mode.
+//
+// Design notes (deliberately not a port of the Rust structure):
+//   * one 64-bit accumulator bit writer / branch-light bit reader;
+//   * the k-estimator stores one flat row per context, allocated lazily so
+//     the 16-bit depth's 131071-context table costs nothing until touched;
+//   * all decode paths return error codes — no aborts on malformed input.
+//
+// C ABI (see felics_tpu/native/runtime.py):
+//   fel_compress / fel_decompress / fel_free, plus fel_version.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Error codes (mirror felics_tpu.errors)
+// ---------------------------------------------------------------------------
+enum FelStatus : int {
+  FEL_OK = 0,
+  FEL_EIO = -1,
+  FEL_EINVALID_VALUE = -2,
+  FEL_EOVERFLOW = -3,
+  FEL_EDIMENSIONS = -4,
+  FEL_ECOLOR_TYPE = -5,
+  FEL_EPIXEL_DEPTH = -6,
+  FEL_ESIGNATURE = -7,
+  FEL_ENOMEM = -8,
+};
+
+constexpr int kColorGray = 0;
+constexpr int kColorRgb = 1;
+constexpr int kDepth8 = 0;
+constexpr int kDepth16 = 1;
+constexpr size_t kHeaderSize = 14;
+
+struct CodingParams {
+  uint32_t max_context;
+  const uint8_t* k_values;
+  int num_k;
+  uint32_t halve_at;  // 0 = disabled
+};
+
+constexpr uint8_t kK8[] = {0, 1, 2, 3, 4, 5};
+constexpr uint8_t kK16[] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14};
+
+CodingParams params_for_depth(int depth) {
+  if (depth == kDepth8) return {510u, kK8, 6, 1024u};
+  return {131070u, kK16, 15, 1024u};
+}
+
+// ---------------------------------------------------------------------------
+// Bit I/O — MSB-first, matching bitstream-io BigEndian semantics.
+// ---------------------------------------------------------------------------
+class BitSink {
+ public:
+  explicit BitSink(std::vector<uint8_t>* out) : out_(out) {}
+
+  inline void put(uint32_t nbits, uint64_t value) {
+    // nbits <= 32; value's low nbits are emitted MSB-first.
+    acc_ = (acc_ << nbits) | (value & ((nbits == 64 ? 0 : (1ull << nbits)) - 1));
+    fill_ += nbits;
+    while (fill_ >= 8) {
+      fill_ -= 8;
+      out_->push_back(static_cast<uint8_t>(acc_ >> fill_));
+    }
+    acc_ &= (1ull << fill_) - 1;
+  }
+
+  inline void put_bit(uint32_t bit) { put(1, bit); }
+
+  inline void put_unary0(uint32_t q) {
+    while (q >= 32) {
+      put(32, 0xFFFFFFFFull);
+      q -= 32;
+    }
+    // q ones then a terminating zero.
+    put(q + 1, ((1ull << q) - 1) << 1);
+  }
+
+  inline void put_i32(int32_t v) { put(32, static_cast<uint32_t>(v)); }
+
+  void byte_align() {
+    if (fill_) put(8 - fill_, 0);
+  }
+
+ private:
+  std::vector<uint8_t>* out_;
+  uint64_t acc_ = 0;
+  uint32_t fill_ = 0;
+};
+
+class BitSource {
+ public:
+  BitSource(const uint8_t* data, size_t len) : data_(data), bitlen_(len * 8) {}
+
+  inline bool get_bit(uint32_t* bit) {
+    if (pos_ >= bitlen_) return false;
+    *bit = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1u;
+    ++pos_;
+    return true;
+  }
+
+  bool get(uint32_t nbits, uint32_t* value) {
+    if (pos_ + nbits > bitlen_) return false;
+    uint64_t result = 0;
+    uint32_t remaining = nbits;
+    while (remaining) {
+      size_t byte_idx = pos_ >> 3;
+      uint32_t bit_off = pos_ & 7;
+      uint32_t take = 8 - bit_off;
+      if (take > remaining) take = remaining;
+      uint32_t chunk = (data_[byte_idx] >> (8 - bit_off - take)) &
+                       ((1u << take) - 1u);
+      result = (result << take) | chunk;
+      pos_ += take;
+      remaining -= take;
+    }
+    *value = static_cast<uint32_t>(result);
+    return true;
+  }
+
+  bool get_unary0(uint32_t* count) {
+    uint32_t c = 0, bit;
+    for (;;) {
+      if (!get_bit(&bit)) return false;
+      if (!bit) {
+        *count = c;
+        return true;
+      }
+      if (++c == 0) return false;  // > 2^32 ones: malformed
+    }
+  }
+
+  bool get_i32(int32_t* v) {
+    uint32_t raw;
+    if (!get(32, &raw)) return false;
+    *v = static_cast<int32_t>(raw);
+    return true;
+  }
+
+ private:
+  const uint8_t* data_;
+  size_t bitlen_;
+  size_t pos_ = 0;
+};
+
+// ---------------------------------------------------------------------------
+// Entropy codes
+// ---------------------------------------------------------------------------
+inline void rice_encode(BitSink& sink, uint32_t k, uint32_t value) {
+  sink.put_unary0(value >> k);
+  sink.put(k, value & ((k ? (1u << k) : 1u) - 1u));
+}
+
+inline bool rice_decode(BitSource& src, uint32_t k, uint32_t* value) {
+  uint32_t q, r;
+  if (!src.get_unary0(&q)) return false;
+  if (!src.get(k, &r)) return false;
+  uint64_t result = (static_cast<uint64_t>(q) << k) + r;
+  if (result > 0xFFFFFFFFull) return false;
+  *value = static_cast<uint32_t>(result);
+  return true;
+}
+
+inline uint32_t rice_length(uint32_t value, uint32_t k) {
+  return (value >> k) + 1 + k;
+}
+
+struct PhaseIn {
+  uint32_t n, m, left_p, right_p;
+  explicit PhaseIn(uint32_t n_) : n(n_) {
+    m = 31 - static_cast<uint32_t>(__builtin_clz(n));
+    left_p = n - (1u << m);
+    right_p = (1u << (m + 1)) - n;
+  }
+  inline void encode(BitSink& sink, uint32_t value) const {
+    uint32_t r = (value + n - left_p) % n;
+    if (r < right_p) {
+      sink.put(m, r);
+    } else {
+      uint32_t off = r - right_p;
+      sink.put(m, (off >> 1) + right_p);
+      sink.put_bit(off & 1);
+    }
+  }
+  inline bool decode(BitSource& src, uint32_t* out) const {
+    uint32_t first;
+    if (!src.get(m, &first)) return false;
+    uint32_t number;
+    if (first < right_p) {
+      number = first;
+    } else {
+      uint32_t bit;
+      if (!src.get_bit(&bit)) return false;
+      number = (first - right_p) * 2 + right_p + bit;
+    }
+    *out = (number + left_p) % n;
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Adaptive k selection — lazily allocated per-context rows.
+// ---------------------------------------------------------------------------
+class KEstimator {
+ public:
+  KEstimator(const CodingParams& p) : p_(p), rows_(p.max_context + 1, nullptr) {
+    storage_.reserve(256);
+  }
+
+  inline uint32_t get_k(uint32_t context) {
+    const uint32_t* row = rows_[context];
+    if (!row) return p_.k_values[p_.num_k - 1];  // all-zero row: largest k
+    uint32_t smallest = 0xFFFFFFFFu;
+    int best = 0;
+    for (int i = 0; i < p_.num_k; ++i) {
+      if (row[i] <= smallest) {  // '<=': ties pick the largest k
+        best = i;
+        smallest = row[i];
+      }
+    }
+    return p_.k_values[best];
+  }
+
+  inline void update(uint32_t context, uint32_t encoded) {
+    uint32_t* row = rows_[context];
+    if (!row) {
+      storage_.emplace_back(p_.num_k, 0u);
+      row = rows_[context] = storage_.back().data();
+    }
+    uint32_t min_v = 0xFFFFFFFFu;
+    for (int i = 0; i < p_.num_k; ++i) {
+      row[i] += rice_length(encoded, p_.k_values[i]);
+      if (row[i] < min_v) min_v = row[i];
+    }
+    if (p_.halve_at && min_v > p_.halve_at) {
+      for (int i = 0; i < p_.num_k; ++i) row[i] >>= 1;
+    }
+  }
+
+ private:
+  CodingParams p_;
+  std::vector<uint32_t*> rows_;
+  std::vector<std::vector<uint32_t>> storage_;
+};
+
+// ---------------------------------------------------------------------------
+// Context model — causal two-neighbour indices in raster order.
+// ---------------------------------------------------------------------------
+inline void neighbours(size_t i, size_t w, size_t* a, size_t* b) {
+  // Caller guarantees i >= 2 (and for the y==1,x==0 case that w > 1).
+  size_t x = i % w, y = i / w;
+  if (x > 0 && y > 0) {
+    *a = i - 1;
+    *b = i - w;
+  } else if (y == 0) {
+    *a = i - 1;
+    *b = i - 2;
+  } else if (y >= 2) {
+    *a = i - w;
+    *b = i - 2 * w;
+  } else {
+    *a = i - w;
+    *b = i - w + 1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Channel codec
+// ---------------------------------------------------------------------------
+void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
+                      const CodingParams& params, BitSink& sink) {
+  const size_t total = static_cast<size_t>(width) * height;
+  if (width == 0 || height == 0) {
+    sink.put_i32(0);
+    sink.put_i32(0);
+    return;
+  }
+  if (width == 1 && height == 1) {
+    sink.put_i32(chan[0]);
+    sink.put_i32(0);
+    return;
+  }
+  sink.put_i32(chan[0]);
+  sink.put_i32(chan[1]);
+
+  KEstimator estimator(params);
+  for (size_t i = 2; i < total; ++i) {
+    size_t a, b;
+    neighbours(i, width, &a, &b);
+    const int32_t p = chan[i];
+    const int32_t v1 = chan[a], v2 = chan[b];
+    const int32_t h = v1 > v2 ? v1 : v2;
+    const int32_t l = v1 < v2 ? v1 : v2;
+    const uint32_t context = static_cast<uint32_t>(h - l);
+
+    if (p >= l && p <= h) {
+      sink.put_bit(1);
+      PhaseIn(context + 1).encode(sink, static_cast<uint32_t>(p - l));
+    } else {
+      const uint32_t k = estimator.get_k(context);
+      uint32_t to_encode;
+      if (p < l) {
+        sink.put(2, 0b00);
+        to_encode = static_cast<uint32_t>(l - p - 1);
+      } else {
+        sink.put(2, 0b01);
+        to_encode = static_cast<uint32_t>(p - h - 1);
+      }
+      rice_encode(sink, k, to_encode);
+      estimator.update(context, to_encode);
+    }
+  }
+}
+
+int decompress_channel(uint32_t width, uint32_t height,
+                       const CodingParams& params, BitSource& src,
+                       int32_t* out) {
+  int32_t pixel1, pixel2;
+  if (!src.get_i32(&pixel1) || !src.get_i32(&pixel2)) return FEL_EIO;
+  if (width == 0 || height == 0) return FEL_OK;
+  if (width == 1 && height == 1) {
+    out[0] = pixel1;
+    return FEL_OK;
+  }
+  const size_t total = static_cast<size_t>(width) * height;
+  out[0] = pixel1;
+  out[1] = pixel2;
+
+  KEstimator estimator(params);
+  for (size_t i = 2; i < total; ++i) {
+    size_t a, b;
+    neighbours(i, width, &a, &b);
+    const int32_t v1 = out[a], v2 = out[b];
+    const int32_t h = v1 > v2 ? v1 : v2;
+    const int32_t l = v1 < v2 ? v1 : v2;
+    const int64_t context64 = static_cast<int64_t>(h) - l;
+    if (context64 < 0 || context64 > params.max_context)
+      return FEL_EINVALID_VALUE;  // corrupt stream drove values out of range
+    const uint32_t context = static_cast<uint32_t>(context64);
+
+    uint32_t first;
+    if (!src.get_bit(&first)) return FEL_EIO;
+    int64_t value;
+    if (first) {
+      uint32_t p;
+      if (!PhaseIn(context + 1).decode(src, &p)) return FEL_EIO;
+      value = static_cast<int64_t>(p) + l;
+    } else {
+      uint32_t above;
+      if (!src.get_bit(&above)) return FEL_EIO;
+      const uint32_t k = estimator.get_k(context);
+      uint32_t encoded;
+      if (!rice_decode(src, k, &encoded)) return FEL_EIO;
+      estimator.update(context, encoded);
+      if (encoded > 0x7FFFFFFFu) return FEL_EINVALID_VALUE;
+      value = above ? static_cast<int64_t>(encoded) + h + 1
+                    : static_cast<int64_t>(l) - encoded - 1;
+    }
+    if (value < INT32_MIN || value > INT32_MAX) return FEL_EOVERFLOW;
+    out[i] = static_cast<int32_t>(value);
+  }
+  return FEL_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Color transform — YCoCg-R with truncating division (Rust i32 '/' semantics).
+// ---------------------------------------------------------------------------
+inline int32_t div2_trunc(int32_t x) { return (x + ((x >> 31) & 1)) >> 1; }
+
+inline void to_ycocg(int32_t r, int32_t g, int32_t b, int32_t* y, int32_t* co,
+                     int32_t* cg) {
+  *co = r - b;
+  const int32_t t = b + div2_trunc(*co);
+  *cg = g - t;
+  *y = t + div2_trunc(*cg);
+}
+
+inline void to_rgb(int32_t y, int32_t co, int32_t cg, int32_t* r, int32_t* g,
+                   int32_t* b) {
+  const int32_t t = y - div2_trunc(cg);
+  *g = cg + t;
+  *b = t - div2_trunc(co);
+  *r = *b + co;
+}
+
+// ---------------------------------------------------------------------------
+// Container
+// ---------------------------------------------------------------------------
+void write_header(std::vector<uint8_t>& out, int color, int depth,
+                  uint32_t width, uint32_t height) {
+  const uint8_t magic[4] = {'F', 'L', 'C', 'S'};
+  out.insert(out.end(), magic, magic + 4);
+  out.push_back(static_cast<uint8_t>(color));
+  out.push_back(static_cast<uint8_t>(depth));
+  for (int shift = 24; shift >= 0; shift -= 8)
+    out.push_back(static_cast<uint8_t>(width >> shift));
+  for (int shift = 24; shift >= 0; shift -= 8)
+    out.push_back(static_cast<uint8_t>(height >> shift));
+}
+
+int read_header(const uint8_t* data, size_t len, int* color, int* depth,
+                uint32_t* width, uint32_t* height) {
+  if (len < kHeaderSize) return FEL_EIO;
+  if (memcmp(data, "FLCS", 4) != 0) return FEL_ESIGNATURE;
+  *color = data[4];
+  *depth = data[5];
+  if (*color != kColorGray && *color != kColorRgb) return FEL_ECOLOR_TYPE;
+  if (*depth != kDepth8 && *depth != kDepth16) return FEL_EPIXEL_DEPTH;
+  *width = (static_cast<uint32_t>(data[6]) << 24) |
+           (static_cast<uint32_t>(data[7]) << 16) |
+           (static_cast<uint32_t>(data[8]) << 8) | data[9];
+  *height = (static_cast<uint32_t>(data[10]) << 24) |
+            (static_cast<uint32_t>(data[11]) << 16) |
+            (static_cast<uint32_t>(data[12]) << 8) | data[13];
+  return FEL_OK;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+const char* fel_version() { return "felics_core 0.1.0"; }
+
+void fel_free(void* ptr) { free(ptr); }
+
+// pixels: interleaved raster order; gray = 1 value/pixel, rgb = 3.
+int fel_compress(const int32_t* pixels, uint32_t width, uint32_t height,
+                 int color_type, int pixel_depth, uint8_t** out,
+                 size_t* out_len) {
+  if (color_type != kColorGray && color_type != kColorRgb)
+    return FEL_ECOLOR_TYPE;
+  if (pixel_depth != kDepth8 && pixel_depth != kDepth16)
+    return FEL_EPIXEL_DEPTH;
+  const uint64_t total64 = static_cast<uint64_t>(width) * height;
+  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  const size_t total = static_cast<size_t>(total64);
+  const CodingParams params = params_for_depth(pixel_depth);
+
+  std::vector<uint8_t> buf;
+  buf.reserve(total + 64);
+  write_header(buf, color_type, pixel_depth, width, height);
+  BitSink sink(&buf);
+
+  if (color_type == kColorGray) {
+    compress_channel(pixels, width, height, params, sink);
+  } else {
+    std::vector<int32_t> y(total), co(total), cg(total);
+    for (size_t i = 0; i < total; ++i)
+      to_ycocg(pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2], &y[i],
+               &co[i], &cg[i]);
+    compress_channel(y.data(), width, height, params, sink);
+    compress_channel(co.data(), width, height, params, sink);
+    compress_channel(cg.data(), width, height, params, sink);
+  }
+  sink.byte_align();
+
+  uint8_t* result = static_cast<uint8_t*>(malloc(buf.size() ? buf.size() : 1));
+  if (!result) return FEL_ENOMEM;
+  memcpy(result, buf.data(), buf.size());
+  *out = result;
+  *out_len = buf.size();
+  return FEL_OK;
+}
+
+int fel_decompress(const uint8_t* data, size_t len, int32_t** out_pixels,
+                   uint32_t* width, uint32_t* height, int* color_type,
+                   int* pixel_depth) {
+  int color, depth;
+  uint32_t w, h;
+  int status = read_header(data, len, &color, &depth, &w, &h);
+  if (status != FEL_OK) return status;
+  const uint64_t total64 = static_cast<uint64_t>(w) * h;
+  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  const size_t total = static_cast<size_t>(total64);
+  const CodingParams params = params_for_depth(depth);
+  const int nchan = color == kColorGray ? 1 : 3;
+
+  BitSource src(data + kHeaderSize, len - kHeaderSize);
+  const int32_t lo = 0;
+  const int32_t hi = depth == kDepth8 ? 255 : 65535;
+
+  int32_t* result =
+      static_cast<int32_t*>(malloc(total ? total * nchan * sizeof(int32_t) : 4));
+  if (!result) return FEL_ENOMEM;
+
+  if (color == kColorGray) {
+    status = decompress_channel(w, h, params, src, result);
+    if (status == FEL_OK) {
+      for (size_t i = 0; i < total; ++i)
+        if (result[i] < lo || result[i] > hi) {
+          status = FEL_EINVALID_VALUE;
+          break;
+        }
+    }
+  } else {
+    std::vector<int32_t> y(total), co(total), cg(total);
+    status = decompress_channel(w, h, params, src, y.data());
+    if (status == FEL_OK) status = decompress_channel(w, h, params, src, co.data());
+    if (status == FEL_OK) status = decompress_channel(w, h, params, src, cg.data());
+    if (status == FEL_OK) {
+      for (size_t i = 0; i < total; ++i) {
+        int32_t r, g, b;
+        to_rgb(y[i], co[i], cg[i], &r, &g, &b);
+        if (r < lo || r > hi || g < lo || g > hi || b < lo || b > hi) {
+          status = FEL_EINVALID_VALUE;
+          break;
+        }
+        result[3 * i] = r;
+        result[3 * i + 1] = g;
+        result[3 * i + 2] = b;
+      }
+    }
+  }
+
+  if (status != FEL_OK) {
+    free(result);
+    return status;
+  }
+  *out_pixels = result;
+  *width = w;
+  *height = h;
+  *color_type = color;
+  *pixel_depth = depth;
+  return FEL_OK;
+}
+
+}  // extern "C"
