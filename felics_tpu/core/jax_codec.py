@@ -1,0 +1,309 @@
+"""TPU-native vectorized FLCS codec.
+
+Encoder pipeline (all XLA; see felics_tpu.ops for the building blocks):
+
+    analyze  →  kscan  →  symbolize  →  prefix-sum offsets  →  pack bits
+
+The emitted container is bit-identical to the reference implementation
+(oracle-tested): same FLCS header, same bit-continuous multi-channel payload
+with one final byte_align (reference: src/compression.rs:365-369).
+
+Host synchronization points (static-shape boundaries): the kscan extents
+(active contexts × max per-context updates) and the total bit count before
+packing; both are bucketized so repeated encodes hit the jit cache.
+
+Single-stream FLCS *decode* is irreducibly serial per pixel (the context
+needs decoded neighbours; the k tables need every prior residual —
+SURVEY.md §2 C9), so ``decompress_image_bytes`` here is a ``lax.scan``
+reference decoder: correct on-TPU decode for completeness/testing, while the
+production serial decode path is the native C++ core and the *parallel*
+decode story is the tiled FLCT format (felics_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import io
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from felics_tpu import errors
+from felics_tpu.coding.bitio import BitWriter
+from felics_tpu.config import CodingConfig, config_for_depth
+from felics_tpu.core import oracle
+from felics_tpu.core.color import rgb_to_ycocg, ycocg_to_rgb
+from felics_tpu.format import ColorType, Header, PixelDepth, header_bytes
+from felics_tpu.ops import bitpack
+from felics_tpu.ops.analysis import Symbols, analyze_channel, symbolize
+from felics_tpu.ops.kscan import compute_k
+
+_DTYPES = {PixelDepth.EIGHT: np.uint8, PixelDepth.SIXTEEN: np.uint16}
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def _analyze(channel, height: int, width: int):
+    return analyze_channel(channel, height, width)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def _symbolize(analysis, channel, k, height: int, width: int) -> Symbols:
+    return symbolize(analysis, channel, k, height, width)
+
+
+def encode_channel_symbols(
+    channel: jnp.ndarray, height: int, width: int, cfg: CodingConfig
+) -> Symbols:
+    """Full parallel pipeline for one channel → per-pixel symbols."""
+    analysis = _analyze(channel, height, width)
+    k = compute_k(analysis.context, analysis.oor, analysis.residual, cfg)
+    return _symbolize(analysis, channel, k, height, width)
+
+
+def _concat_symbols(parts: Sequence[Symbols]) -> Symbols:
+    return Symbols(
+        a_val=jnp.concatenate([p.a_val for p in parts]),
+        a_len=jnp.concatenate([p.a_len for p in parts]),
+        q=jnp.concatenate([p.q for p in parts]),
+        b_val=jnp.concatenate([p.b_val for p in parts]),
+        b_len=jnp.concatenate([p.b_len for p in parts]),
+    )
+
+
+def encode_payload(
+    channels: Sequence[np.ndarray], height: int, width: int, cfg: CodingConfig
+) -> bytes:
+    """Encode flat int32 channels into the byte-aligned FLCS payload."""
+    n = height * width
+    if n < 2 or width == 0 or height == 0:
+        # Degenerate dims: raw preamble only — delegate to the scalar path
+        # (reference: src/compression.rs:92-103).
+        writer = BitWriter()
+        for chan in channels:
+            oracle.compress_channel(
+                np.asarray(chan, dtype=np.int64), width, height, cfg, writer
+            )
+        writer.byte_align()
+        return writer.getvalue()
+
+    parts = [
+        encode_channel_symbols(jnp.asarray(chan, dtype=jnp.int32), height, width, cfg)
+        for chan in channels
+    ]
+    symbols = _concat_symbols(parts) if len(parts) > 1 else parts[0]
+    offsets, total = bitpack.symbol_offsets(symbols)
+    total_bits = int(total)
+    b_pad = bitpack.bucket_bits(total_bits)
+    packed = bitpack.pack_bits(symbols, offsets, b_pad)
+    total_bytes = (total_bits + 7) // 8
+    return bytes(np.asarray(packed[:total_bytes]).tobytes())
+
+
+def compress_image_bytes(image: np.ndarray, header: Header) -> bytes:
+    cfg = config_for_depth(header.pixel_depth)
+    h, w = header.height, header.width
+    if header.color_type == ColorType.GRAY:
+        channels = [np.asarray(image, dtype=np.int32).reshape(-1)]
+    else:
+        flat = np.asarray(image, dtype=np.int32).reshape(-1, 3)
+        y, co, cg = rgb_to_ycocg(flat[:, 0], flat[:, 1], flat[:, 2])
+        channels = [y, co, cg]
+    return header_bytes(header) + encode_payload(channels, h, w, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Sequential lax.scan decoder (reference oracle on-device).
+# ---------------------------------------------------------------------------
+
+
+def _bits_to_words(data: bytes, start_bit: int):
+    """Payload bytes → uint32 big-endian word array + starting bit offset."""
+    payload = np.frombuffer(data, dtype=np.uint8)
+    pad = (-len(payload)) % 4
+    if pad:
+        payload = np.concatenate([payload, np.zeros(pad, np.uint8)])
+    words = payload.reshape(-1, 4).astype(np.uint32)
+    words = (words[:, 0] << 24) | (words[:, 1] << 16) | (words[:, 2] << 8) | words[:, 3]
+    return jnp.asarray(words), start_bit
+
+
+def _read_bits(words, pos, nbits_max: int):
+    """Read ``nbits_max`` (static, <= 32) bits starting at bit ``pos``.
+
+    Returns uint32 holding the stream bits in its low ``nbits_max`` bits
+    (first stream bit most significant). Pure 32-bit ops — JAX's default
+    32-bit mode has no uint64. Reads beyond the buffer yield zeros.
+    """
+    word_idx = pos >> 5
+    bit_off = (pos & 31).astype(jnp.uint32)
+    w0 = words[word_idx]
+    w1 = words[jnp.minimum(word_idx + 1, words.shape[0] - 1)]
+    # 32-bit window starting at ``pos``, MSB-aligned.
+    hi = w0 << bit_off
+    lo = jnp.where(bit_off > 0, w1 >> (jnp.uint32(32) - bit_off), jnp.uint32(0))
+    window = hi | lo
+    if nbits_max == 32:
+        return window
+    return window >> jnp.uint32(32 - nbits_max)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg"))
+def decode_channel_scan(
+    words: jnp.ndarray,
+    start_bit,
+    height: int,
+    width: int,
+    cfg: CodingConfig,
+):
+    """Sequential per-pixel decode as a lax.scan; returns (pixels, end_bit).
+
+    One scan step per pixel: peek 64 bits at the cursor, decode the marker +
+    phase-in/Rice codeword arithmetically (count-leading-ones for the unary
+    part via a fixed-point loop over 32-bit windows), update the k table,
+    advance the cursor. State: (bit cursor, k table, decoded ring of the
+    previous row — the full buffer is carried since W is static).
+    """
+    n = height * width
+    k_values = jnp.asarray(cfg.k_values, dtype=jnp.int32)
+    num_k = cfg.num_k
+
+    from felics_tpu.core.context import neighbour_indices
+
+    a_idx, b_idx = neighbour_indices(height, width, xp=jnp)
+
+    max_context = cfg.max_context
+    # Dense table: fine for 8-bit (511 rows); for 16-bit we rely on XLA/HBM.
+    table_rows = max_context + 1
+
+    def read_unary(pos):
+        # Count leading ones from bit position pos, consuming the terminator.
+        def cond(state):
+            q, p, done = state
+            return ~done
+
+        def body(state):
+            q, p, done = state
+            window = _read_bits(words, p, 32)
+            # leading ones = count of leading zeros of the inverted window
+            inverted = (~window) & jnp.uint32(0xFFFFFFFF)
+            lead = jnp.where(inverted == 0, 32, jax.lax.clz(inverted)).astype(
+                jnp.int32
+            )
+            finished = lead < 32
+            q = q + lead
+            p = p + lead + jnp.where(finished, 1, 0)
+            return q, p, finished
+
+        q0 = jnp.int32(0)
+        q, p, _ = jax.lax.while_loop(cond, body, (q0, pos, jnp.bool_(False)))
+        return q, p
+
+    def step(state, i):
+        pos, table, buf = state
+        va = buf[a_idx[i]]
+        vb = buf[b_idx[i]]
+        h = jnp.maximum(va, vb)
+        l = jnp.minimum(va, vb)
+        ctx = jnp.clip(h - l, 0, max_context)
+
+        row = table[ctx]
+        best = (num_k - 1) - jnp.argmin(row[::-1])
+        k = k_values[best]
+
+        first = _read_bits(words, pos, 1)
+        pos1 = pos + 1
+
+        # --- in-range branch: phase-in decode over n = ctx+1 ---
+        nn = ctx + 1
+        m = 31 - jax.lax.clz(nn)
+        left_p = nn - (1 << m)
+        right_p = (1 << (m + 1)) - nn
+        first_m = _read_bits(words, pos1, 32) >> (32 - m).astype(jnp.uint32)
+        first_m = jnp.where(m > 0, first_m, 0).astype(jnp.int32)
+        short = first_m < right_p
+        extra_bit = _read_bits(words, pos1 + m, 1).astype(jnp.int32)
+        long_number = (first_m - right_p) * 2 + right_p + extra_bit
+        number = jnp.where(short, first_m, long_number)
+        phase_val = (number + left_p) % nn
+        phase_len = jnp.where(short, m, m + 1)
+        in_value = phase_val + l
+        in_pos = pos1 + phase_len
+
+        # --- out-of-range branch: second marker bit + Rice ---
+        above = _read_bits(words, pos1, 1)
+        q, pos_after_unary = read_unary(pos1 + 1)
+        rem = _read_bits(words, pos_after_unary, 32) >> (32 - k).astype(jnp.uint32)
+        rem = jnp.where(k > 0, rem, 0).astype(jnp.int32)
+        encoded = (q << k) + rem
+        oor_value = jnp.where(above == 1, encoded + h + 1, l - encoded - 1)
+        oor_pos = pos_after_unary + k
+
+        # k-table update only on the out-of-range path; in-range leaves the
+        # row unchanged (add 0, no halving), so one unconditional scatter
+        # avoids materializing a second copy of the whole table per step.
+        is_in = first == 1
+        add_row = jnp.where(is_in, 0, (encoded >> k_values) + 1 + k_values)
+        new_row = row + add_row
+        if cfg.count_scaling is not None:
+            halve = (jnp.min(new_row) > cfg.count_scaling) & ~is_in
+            new_row = jnp.where(halve, new_row >> 1, new_row)
+
+        value = jnp.where(is_in, in_value, oor_value)
+        new_pos = jnp.where(is_in, in_pos, oor_pos)
+        table = table.at[ctx].set(new_row)
+        buf = buf.at[i].set(value)
+        return (new_pos, table, buf), None
+
+    p0 = jnp.int32(start_bit)
+    pixel1 = jax.lax.bitcast_convert_type(_read_bits(words, p0, 32), jnp.int32)
+    pixel2 = jax.lax.bitcast_convert_type(
+        _read_bits(words, p0 + 32, 32), jnp.int32
+    )
+    buf = jnp.zeros((n,), jnp.int32).at[0].set(pixel1).at[1].set(pixel2)
+    table = jnp.zeros((table_rows, num_k), jnp.int32)
+
+    (end_pos, _, buf), _ = jax.lax.scan(
+        step, (p0 + 64, table, buf), jnp.arange(2, n, dtype=jnp.int32)
+    )
+    return buf, end_pos
+
+
+def decompress_image_bytes(data: bytes, header: Header) -> np.ndarray:
+    cfg = config_for_depth(header.pixel_depth)
+    dtype = _DTYPES[header.pixel_depth]
+    h, w = header.height, header.width
+    n = h * w
+
+    if n < 2:
+        # Degenerate dims: use the scalar oracle (raw preamble only).
+        from felics_tpu import api
+
+        return api.decompress_image_bytes(data, backend="oracle")
+
+    words, _ = _bits_to_words(data[14:], 0)
+    channels: List[np.ndarray] = []
+    pos = 0
+    for _ in range(header.num_channels):
+        buf, pos = decode_channel_scan(words, pos, h, w, cfg)
+        channels.append(np.asarray(buf, dtype=np.int64))
+
+    if header.color_type == ColorType.GRAY:
+        chan = channels[0]
+        _validate_range(chan, dtype)
+        return chan.astype(dtype).reshape(h, w)
+    r, g, b = ycocg_to_rgb(
+        channels[0].astype(np.int32),
+        channels[1].astype(np.int32),
+        channels[2].astype(np.int32),
+    )
+    for c in (r, g, b):
+        _validate_range(c, dtype)
+    return np.stack([r, g, b], axis=-1).astype(dtype).reshape(h, w, 3)
+
+
+def _validate_range(chan: np.ndarray, dtype) -> None:
+    info = np.iinfo(dtype)
+    if chan.size and (chan.min() < info.min or chan.max() > info.max):
+        raise errors.InvalidValue("decoded value does not fit the pixel depth")
