@@ -68,12 +68,33 @@ def _resolve_backend(backend: str, for_encode: bool):
     return backend
 
 
-def compress_image(image: np.ndarray, to: BinaryIO, backend: str = "auto") -> None:
-    to.write(compress_image_bytes(image, backend=backend))
+def compress_image(
+    image: np.ndarray,
+    to: BinaryIO,
+    backend: str = "auto",
+    container: str = "flcs",
+    tile=None,
+) -> None:
+    to.write(
+        compress_image_bytes(image, backend=backend, container=container, tile=tile)
+    )
 
 
-def compress_image_bytes(image: np.ndarray, backend: str = "auto") -> bytes:
+def compress_image_bytes(
+    image: np.ndarray,
+    backend: str = "auto",
+    container: str = "flcs",
+    tile=None,
+) -> bytes:
+    """``container``: "flcs" (reference-compatible single stream) or "flct"
+    (tiled-parallel TPU format; always encoded on the jax backend)."""
     image = np.ascontiguousarray(image)
+    if container == "flct":
+        from felics_tpu.parallel import tiling
+
+        return tiling.compress_tiled_bytes(image, tile)
+    if container != "flcs":
+        raise ValueError(f"unknown container {container!r}")
     header = header_for_array(image)
     backend = _resolve_backend(backend, for_encode=True)
 
@@ -112,6 +133,10 @@ def decompress_image(from_: BinaryIO, backend: str = "auto") -> np.ndarray:
 
 
 def decompress_image_bytes(data: bytes, backend: str = "auto") -> np.ndarray:
+    if data[:4] == b"FLCT":
+        from felics_tpu.parallel import tiling
+
+        return tiling.decompress_tiled_bytes(data)
     header = read_header(io.BytesIO(data))
     backend = _resolve_backend(backend, for_encode=False)
 

@@ -46,7 +46,11 @@ def compress_channel(
     height: int,
     config: CodingConfig,
     bitwriter: BitWriter,
+    bucketed_k: bool = False,
 ) -> None:
+    """``bucketed_k``: index the k-estimator by bit_length(context) instead of
+    the exact context — the FLCT tiled format's rule (see
+    felics_tpu.ops.kscan_tiled); FLCS uses the exact context."""
     channel = np.asarray(channel, dtype=np.int64)
     total = width * height
     if total > channel.size:
@@ -72,7 +76,8 @@ def compress_channel(
         v1, v2 = int(channel[a]), int(channel[b])
         h, l = max(v1, v2), min(v1, v2)
         context = h - l
-        k = estimator.get_k(context)
+        kctx = context.bit_length() if bucketed_k else context
+        k = estimator.get_k(kctx)
 
         if l <= p <= h:
             bitwriter.write(_IN_RANGE[1], _IN_RANGE[0])
@@ -80,11 +85,11 @@ def compress_channel(
         elif p < l:
             bitwriter.write(_BELOW_RANGE[1], _BELOW_RANGE[0])
             coders[k].encode(bitwriter, l - p - 1)
-            estimator.update(context, l - p - 1)
+            estimator.update(kctx, l - p - 1)
         else:
             bitwriter.write(_ABOVE_RANGE[1], _ABOVE_RANGE[0])
             coders[k].encode(bitwriter, p - h - 1)
-            estimator.update(context, p - h - 1)
+            estimator.update(kctx, p - h - 1)
 
 
 def decompress_channel(
@@ -92,6 +97,7 @@ def decompress_channel(
     height: int,
     config: CodingConfig,
     bitreader: BitReader,
+    bucketed_k: bool = False,
 ) -> np.ndarray:
     pixel1 = bitreader.read_signed32()
     pixel2 = bitreader.read_signed32()
@@ -120,7 +126,8 @@ def decompress_channel(
             # Only reachable on corrupt streams: valid pixel values keep
             # H - L within MAX_CONTEXT (the reference panics here instead).
             raise errors.InvalidValue("context exceeds MAX_CONTEXT")
-        k = estimator.get_k(context)
+        kctx = context.bit_length() if bucketed_k else context
+        k = estimator.get_k(kctx)
 
         first = bitreader.read_bit()
         if first:  # in range
@@ -129,7 +136,7 @@ def decompress_channel(
         else:
             above = bitreader.read_bit()
             encoded = coders[k].decode(bitreader)
-            estimator.update(context, encoded)
+            estimator.update(kctx, encoded)
             if encoded > i32_max:
                 raise errors.InvalidValue("decoded residual does not fit i32")
             if above:

@@ -1,0 +1,478 @@
+"""FLCT — the tiled-parallel container format.
+
+Layout (all integers big-endian):
+
+    0:4    magic "FLCT"
+    4      color type      (0 = gray, 1 = rgb; same enum as FLCS)
+    5      pixel depth     (0 = 8-bit, 1 = 16-bit)
+    6:10   width  u32      (true image dims, pre-padding)
+    10:14  height u32
+    14:16  tile_w u16
+    16:18  tile_h u16
+    18:20  flags  u16      (0)
+    20:24  n_tiles u32
+    24:..  per-tile payload byte length, u32 × n_tiles
+    ..     payload: concatenated per-tile streams, each byte-aligned
+
+The image is edge-replicated up to a multiple of the tile size; tiles are
+row-major over the padded canvas. Each tile's stream is FELICS coding of its
+channel planes (Y/Co/Cg for RGB) coded back-to-back exactly like a miniature
+FLCS payload — per-tile raw 32-bit first-two-pixels preamble, fresh k
+statistics — with ONE deviation: the k-estimator is indexed by the
+log-bucketed context ``qctx = bit_length(Δ)`` (felics_tpu.ops.kscan_tiled)
+instead of exact Δ. Buckets keep per-tile tables tiny (10/18 rows), which is
+what lets thousands of tiles decode concurrently on-chip and lets the encoder
+skip the FLCS path's global sort.
+
+Tiles are mutually independent: encode is one batched XLA program over all
+tiles; decode vmaps a per-tile sequential scan; the tile axis shards over a
+``jax.sharding.Mesh`` for multi-chip runs (felics_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from felics_tpu import errors
+from felics_tpu.config import CodingConfig, TileConfig, config_for_depth
+from felics_tpu.core.color import rgb_to_ycocg, ycocg_to_rgb
+from felics_tpu.core.context import neighbour_indices
+from felics_tpu.format import ColorType, PixelDepth
+from felics_tpu.ops import bitpack
+from felics_tpu.ops.analysis import phase_in_code
+from felics_tpu.ops.kscan import _bucket
+from felics_tpu.ops.kscan_tiled import kscan_tiled, num_buckets, qctx_of, rank_and_count
+
+MAGIC_TILED = b"FLCT"
+_FIXED_HEADER = struct.Struct(">4sBBIIHHHI")  # 24 bytes
+
+
+@dataclass
+class TiledHeader:
+    color_type: ColorType
+    pixel_depth: PixelDepth
+    width: int
+    height: int
+    tile_w: int
+    tile_h: int
+    n_tiles: int
+    tile_lengths: np.ndarray  # u32[n_tiles] payload bytes per tile
+
+    @property
+    def num_channels(self) -> int:
+        return 1 if self.color_type == ColorType.GRAY else 3
+
+
+def read_tiled_header(data: bytes) -> TiledHeader:
+    if len(data) < _FIXED_HEADER.size:
+        raise errors.IoError("truncated FLCT header")
+    magic, color, depth, w, h, tw, th, flags, n_tiles = _FIXED_HEADER.unpack(
+        data[: _FIXED_HEADER.size]
+    )
+    if magic != MAGIC_TILED:
+        raise errors.InvalidSignature(f"bad magic {magic!r}")
+    if flags != 0:
+        raise errors.InvalidValue(f"unsupported FLCT flags {flags}")
+    end = _FIXED_HEADER.size + 4 * n_tiles
+    if len(data) < end:
+        raise errors.IoError("truncated FLCT tile table")
+    lengths = np.frombuffer(data[_FIXED_HEADER.size : end], dtype=">u4").astype(
+        np.int64
+    )
+    return TiledHeader(
+        color_type=ColorType.from_byte(color),
+        pixel_depth=PixelDepth.from_byte(depth),
+        width=w,
+        height=h,
+        tile_w=tw,
+        tile_h=th,
+        n_tiles=n_tiles,
+        tile_lengths=lengths,
+    )
+
+
+def _clamped_tile_dims(h: int, w: int, tile: TileConfig) -> Tuple[int, int]:
+    th = max(2, min(tile.tile_h, h))
+    tw = max(2, min(tile.tile_w, w))
+    return th, tw
+
+
+def _pad_to_tiles(image: np.ndarray, th: int, tw: int) -> np.ndarray:
+    h, w = image.shape[:2]
+    ph = (-h) % th
+    pw = (-w) % tw
+    if ph or pw:
+        pad = [(0, ph), (0, pw)] + [(0, 0)] * (image.ndim - 2)
+        image = np.pad(image, pad, mode="edge")
+    return image
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "nb"))
+def _tiled_stage1(tiles, th: int, tw: int, nb: int):
+    """tiles: (n_tiles, C, T) int32. Returns analysis + rank/count info."""
+    t = th * tw
+    a_idx, b_idx = neighbour_indices(th, tw, xp=jnp)
+    v1 = tiles[..., a_idx]
+    v2 = tiles[..., b_idx]
+    high = jnp.maximum(v1, v2)
+    low = jnp.minimum(v1, v2)
+    context = (high - low).astype(jnp.int32)
+
+    pix = jnp.arange(t, dtype=jnp.int32)
+    first_two = pix < 2
+    p = tiles
+    in_range = (p >= low) & (p <= high) & ~first_two
+    below = (p < low) & ~first_two
+    above = (p > high) & ~first_two
+    oor = below | above
+    residual = jnp.where(below, low - p - 1, jnp.where(above, p - high - 1, 0)).astype(
+        jnp.int32
+    )
+
+    qctx = qctx_of(context)
+    nt, c, _ = tiles.shape
+    rank, counts = rank_and_count(
+        qctx.reshape(nt * c, t), oor.reshape(nt * c, t), nb
+    )
+    max_count = jnp.max(counts)
+    return (context, low, oor, residual, in_range, above, qctx,
+            rank.reshape(nt, c, t), max_count)
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb", "r_pad"))
+def _tiled_stage2(
+    tiles, context, low, oor, residual, in_range, above, qctx, rank,
+    th: int, tw: int, cfg: CodingConfig, nb: int, r_pad: int,
+):
+    """Symbols + per-tile/global offsets. Returns flat symbols, flat offsets,
+    per-tile byte lengths, total payload bytes."""
+    nt, c, t = tiles.shape
+    k = kscan_tiled(
+        qctx.reshape(nt * c, t),
+        oor.reshape(nt * c, t),
+        residual.reshape(nt * c, t),
+        rank.reshape(nt * c, t),
+        cfg,
+        nb,
+        r_pad,
+    ).reshape(nt, c, t)
+
+    # --- symbolize (same codeword layout as ops.analysis.symbolize) ---
+    a_val = jnp.where(in_range, 1, jnp.where(above, 0b01, 0b00))
+    a_len = jnp.where(in_range, 1, 2)
+    phase_val, phase_len = phase_in_code(context + 1, tiles - low)
+    v = residual
+    q = jnp.where(oor, v >> k, 0)
+    remainder = (v & ((1 << k) - 1)).astype(jnp.uint32)
+    b_val = jnp.where(in_range, phase_val, remainder)
+    b_len = jnp.where(in_range, phase_len, k + 1)
+
+    pix = jnp.arange(t, dtype=jnp.int32)
+    is0 = pix == 0
+    is1 = pix == 1
+    p0 = tiles[..., 0:1].astype(jnp.uint32)
+    p1 = tiles[..., 1:2].astype(jnp.uint32)
+    a_val = jnp.where(is0, p0, jnp.where(is1, 0, a_val)).astype(jnp.uint32)
+    a_len = jnp.where(is0, 32, jnp.where(is1, 0, a_len)).astype(jnp.int32)
+    q = jnp.where(is0 | is1, 0, q).astype(jnp.int32)
+    b_val = jnp.where(is0, p1, jnp.where(is1, 0, b_val)).astype(jnp.uint32)
+    b_len = jnp.where(is0, 32, jnp.where(is1, 0, b_len)).astype(jnp.int32)
+
+    # --- offsets: per-tile bit cumsum, byte-aligned tile starts ---
+    lens = (a_len + q + b_len).reshape(nt, c * t)
+    ends = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
+    tile_bits = ends[:, -1]
+    tile_bytes = (tile_bits + 7) >> 3
+    tile_starts = jnp.cumsum(tile_bytes) - tile_bytes  # exclusive, bytes
+    within = ends - lens
+    offsets = (tile_starts[:, None] << 3) + within
+    total_bytes = tile_starts[-1] + tile_bytes[-1]
+
+    from felics_tpu.ops.analysis import Symbols
+
+    flat = Symbols(
+        a_val=a_val.reshape(-1),
+        a_len=a_len.reshape(-1),
+        q=q.reshape(-1),
+        b_val=b_val.reshape(-1),
+        b_len=b_len.reshape(-1),
+    )
+    return flat, offsets.reshape(-1), tile_bytes, total_bytes
+
+
+def _prepare_tiles(image: np.ndarray, color: ColorType, th: int, tw: int):
+    padded = _pad_to_tiles(np.asarray(image), th, tw)
+    hp, wp = padded.shape[:2]
+    ty, tx = hp // th, wp // tw
+    if color == ColorType.GRAY:
+        chans = padded.astype(np.int32)[None]  # (1, Hp, Wp)
+    else:
+        flat = padded.astype(np.int32).reshape(-1, 3)
+        y, co, cg = rgb_to_ycocg(flat[:, 0], flat[:, 1], flat[:, 2])
+        chans = np.stack([y, co, cg]).reshape(3, hp, wp)
+    c = chans.shape[0]
+    # (C, ty, th, tx, tw) -> (ty, tx, C, th*tw)
+    tiles = (
+        chans.reshape(c, ty, th, tx, tw)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(ty * tx, c, th * tw)
+    )
+    return tiles, ty, tx
+
+
+def compress_tiled_bytes(
+    image: np.ndarray,
+    tile: Optional[TileConfig] = None,
+) -> bytes:
+    from felics_tpu.api import header_for_array
+
+    base = header_for_array(image)  # validates dtype/shape
+    tile = tile or TileConfig()
+    h, w = base.height, base.width
+    if h == 0 or w == 0:
+        th, tw = max(2, tile.tile_h), max(2, tile.tile_w)
+        header = _FIXED_HEADER.pack(
+            MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
+            w, h, tw, th, 0, 0,
+        )
+        return header
+    th, tw = _clamped_tile_dims(h, w, tile)
+    cfg = config_for_depth(base.pixel_depth)
+    nb = num_buckets(cfg)
+
+    tiles_np, ty, tx = _prepare_tiles(image, base.color_type, th, tw)
+    tiles = jnp.asarray(tiles_np)
+
+    (context, low, oor, residual, in_range, above, qctx, rank, max_count) = (
+        _tiled_stage1(tiles, th, tw, nb)
+    )
+    r_pad = _bucket(max(1, int(max_count)))
+    flat, offsets, tile_bytes, total_bytes = _tiled_stage2(
+        tiles, context, low, oor, residual, in_range, above, qctx, rank,
+        th, tw, cfg, nb, r_pad,
+    )
+    total = int(total_bytes)
+    b_pad = bitpack.bucket_bits(total * 8)
+    packed = bitpack.pack_bits(flat, offsets, b_pad)
+
+    n_tiles = ty * tx
+    header = _FIXED_HEADER.pack(
+        MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
+        w, h, tw, th, 0, n_tiles,
+    )
+    table = np.asarray(tile_bytes, dtype=np.uint32).astype(">u4").tobytes()
+    payload = np.asarray(packed[:total]).tobytes()
+    return header + table + payload
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _read_bits_fn(words):
+    def read(pos, nbits_max: int):
+        word_idx = pos >> 5
+        bit_off = (pos & 31).astype(jnp.uint32)
+        w0 = words[word_idx]
+        w1 = words[jnp.minimum(word_idx + 1, words.shape[0] - 1)]
+        hi = w0 << bit_off
+        lo = jnp.where(
+            bit_off > 0, w1 >> (jnp.uint32(32) - bit_off), jnp.uint32(0)
+        )
+        window = hi | lo
+        if nbits_max == 32:
+            return window
+        return window >> jnp.uint32(32 - nbits_max)
+
+    return read
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "c", "cfg", "nb"))
+def _decode_tiles(
+    words, tile_bit_starts, th: int, tw: int, c: int, cfg: CodingConfig, nb: int
+):
+    """vmapped sequential decode of every tile at once.
+
+    Returns (n_tiles, C, T) int32 planes.
+    """
+    t = th * tw
+    k_values = jnp.asarray(cfg.k_values, dtype=jnp.int32)
+    num_k = cfg.num_k
+    a_idx, b_idx = neighbour_indices(th, tw, xp=jnp)
+    read = _read_bits_fn(words)
+
+    def read_unary(pos):
+        def cond(state):
+            _, _, done = state
+            return ~done
+
+        def body(state):
+            q, p, _ = state
+            window = read(p, 32)
+            inverted = (~window) & jnp.uint32(0xFFFFFFFF)
+            lead = jnp.where(inverted == 0, 32, jax.lax.clz(inverted)).astype(
+                jnp.int32
+            )
+            finished = lead < 32
+            return q + lead, p + lead + jnp.where(finished, 1, 0), finished
+
+        q, p, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), pos, jnp.bool_(False))
+        )
+        return q, p
+
+    def decode_tile(start_bit):
+        def step(state, i):
+            pos, table, buf = state
+            j = i % t  # pixel within channel plane
+            ch = i // t
+            # Fresh k statistics per channel plane (matches the encoder's
+            # per-(tile, channel) domains and FLCS's per-channel estimator).
+            table = table * jnp.where(j == 0, 0, 1)
+
+            # Raw 32-bit preamble for the first two pixels of each channel.
+            raw = jax.lax.bitcast_convert_type(read(pos, 32), jnp.int32)
+
+            va = buf[ch * t + a_idx[j]]
+            vb = buf[ch * t + b_idx[j]]
+            h = jnp.maximum(va, vb)
+            l = jnp.minimum(va, vb)
+            ctx = jnp.clip(h - l, 0, cfg.max_context)
+            qc = jnp.clip(qctx_of(ctx), 0, nb - 1)
+
+            row = table[qc]
+            best = (num_k - 1) - jnp.argmin(row[::-1])
+            k = k_values[best]
+
+            first = read(pos, 1)
+            pos1 = pos + 1
+
+            # in-range: phase-in over n = ctx+1
+            nn = ctx + 1
+            m = 31 - jax.lax.clz(nn)
+            left_p = nn - (1 << m)
+            right_p = (1 << (m + 1)) - nn
+            first_m = read(pos1, 32) >> (32 - m).astype(jnp.uint32)
+            first_m = jnp.where(m > 0, first_m, 0).astype(jnp.int32)
+            short = first_m < right_p
+            extra = read(pos1 + m, 1).astype(jnp.int32)
+            number = jnp.where(
+                short, first_m, (first_m - right_p) * 2 + right_p + extra
+            )
+            in_value = (number + left_p) % nn + l
+            in_pos = pos1 + jnp.where(short, m, m + 1)
+
+            # out-of-range: marker bit + Rice
+            above_bit = read(pos1, 1)
+            uq, pos_u = read_unary(pos1 + 1)
+            rem = read(pos_u, 32) >> (32 - k).astype(jnp.uint32)
+            rem = jnp.where(k > 0, rem, 0).astype(jnp.int32)
+            encoded = (uq << k) + rem
+            oor_value = jnp.where(above_bit == 1, encoded + h + 1, l - encoded - 1)
+            oor_pos = pos_u + k
+
+            is_pre = j < 2
+            is_in = (first == 1) & ~is_pre
+            is_oor = ~is_in & ~is_pre
+
+            add_row = jnp.where(is_oor, (encoded >> k_values) + 1 + k_values, 0)
+            new_row = row + add_row
+            if cfg.count_scaling is not None:
+                halve = (jnp.min(new_row) > cfg.count_scaling) & is_oor
+                new_row = jnp.where(halve, new_row >> 1, new_row)
+            table = table.at[qc].set(new_row)
+
+            value = jnp.where(is_pre, raw, jnp.where(is_in, in_value, oor_value))
+            new_pos = jnp.where(
+                is_pre, pos + 32, jnp.where(is_in, in_pos, oor_pos)
+            )
+            buf = buf.at[i].set(value)
+            return (new_pos, table, buf), None
+
+        table0 = jnp.zeros((nb, num_k), jnp.int32)
+        buf0 = jnp.zeros((c * t,), jnp.int32)
+        (end_pos, _, buf), _ = jax.lax.scan(
+            step, (start_bit, table0, buf0), jnp.arange(c * t, dtype=jnp.int32)
+        )
+        return buf
+
+    bufs = jax.vmap(decode_tile)(tile_bit_starts.astype(jnp.int32))
+    return bufs.reshape(-1, c, t)
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "c", "ty", "tx", "height", "width", "depth_max"))
+def _assemble_image(
+    bufs, th: int, tw: int, c: int, ty: int, tx: int, height: int, width: int,
+    depth_max: int,
+):
+    """(n_tiles, C, T) planes -> (H, W[, 3]) pixels + validity flag."""
+    planes = (
+        bufs.reshape(ty, tx, c, th, tw)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(c, ty * th, tx * tw)[:, :height, :width]
+    )
+    if c == 1:
+        out = planes[0]
+    else:
+        r, g, b = ycocg_to_rgb(planes[0], planes[1], planes[2], xp=jnp)
+        out = jnp.stack([r, g, b], axis=-1)
+    valid = jnp.all((out >= 0) & (out <= depth_max))
+    dtype = jnp.uint8 if depth_max == 255 else jnp.uint16
+    return out.astype(dtype), valid
+
+
+def decompress_tiled_bytes(data: bytes) -> np.ndarray:
+    header = read_tiled_header(data)
+    cfg = config_for_depth(header.pixel_depth)
+    nb = num_buckets(cfg)
+    h, w = header.height, header.width
+    if h == 0 or w == 0:
+        dtype = np.uint8 if header.pixel_depth == PixelDepth.EIGHT else np.uint16
+        shape = (h, w) if header.color_type == ColorType.GRAY else (h, w, 3)
+        return np.zeros(shape, dtype)
+
+    th, tw = header.tile_h, header.tile_w
+    ty = -(-h // th)
+    tx = -(-w // tw)
+    if ty * tx != header.n_tiles:
+        raise errors.InvalidDimensions("tile grid does not match dims")
+    c = header.num_channels
+
+    payload_off = _FIXED_HEADER.size + 4 * header.n_tiles
+    payload = data[payload_off:]
+    expected = int(header.tile_lengths.sum())
+    if len(payload) < expected:
+        raise errors.IoError("truncated FLCT payload")
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    pad = (-len(arr)) % 4
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+    w32 = arr.reshape(-1, 4).astype(np.uint32)
+    words = jnp.asarray(
+        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+    )
+    starts = np.concatenate([[0], np.cumsum(header.tile_lengths)[:-1]]) * 8
+    bufs = _decode_tiles(
+        words, jnp.asarray(starts, dtype=jnp.int32), th, tw, c, cfg, nb
+    )
+    depth_max = 255 if header.pixel_depth == PixelDepth.EIGHT else 65535
+    out, valid = _assemble_image(
+        bufs, th, tw, c, ty, tx, h, w, depth_max
+    )
+    if not bool(valid):
+        raise errors.InvalidValue("decoded value does not fit the pixel depth")
+    return np.asarray(out)

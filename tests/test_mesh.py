@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from felics_tpu.config import TileConfig
+from felics_tpu.parallel import tiling
+from felics_tpu.parallel.mesh import (
+    decode_tiled_sharded,
+    encode_tiled_sharded,
+    fused_encode_step,
+    make_tile_mesh,
+    worst_case_payload_bits,
+)
+
+TILE16 = TileConfig(tile_h=16, tile_w=16)
+
+
+def smooth_image(rng, width, height, dtype=np.uint8, channels=None):
+    shape = (height, width) if channels is None else (height, width, channels)
+    steps = rng.integers(-6, 7, size=shape)
+    img = np.cumsum(np.cumsum(steps, axis=0), axis=1) + 128
+    return np.clip(img, 0, np.iinfo(dtype).max).astype(dtype)
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_encode_matches_single_device(rng):
+    img = smooth_image(rng, 64, 32)  # 8 tiles of 16x16
+    mesh = make_tile_mesh()
+    sharded = encode_tiled_sharded(img, mesh, TILE16)
+    single = tiling.compress_tiled_bytes(img, TILE16)
+    assert sharded == single
+
+
+def test_sharded_encode_with_tile_padding(rng):
+    img = smooth_image(rng, 48, 32)  # 6 tiles -> padded to 8 for the mesh
+    mesh = make_tile_mesh()
+    sharded = encode_tiled_sharded(img, mesh, TILE16)
+    single = tiling.compress_tiled_bytes(img, TILE16)
+    assert sharded == single
+
+
+def test_sharded_decode_matches(rng):
+    img = smooth_image(rng, 64, 32, channels=3)
+    data = tiling.compress_tiled_bytes(img, TILE16)
+    mesh = make_tile_mesh()
+    out = decode_tiled_sharded(data, mesh)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_fused_encode_step_matches_dynamic(rng):
+    from felics_tpu.config import CONFIG_8BIT
+    from felics_tpu.format import ColorType
+    from felics_tpu.ops.kscan_tiled import num_buckets
+
+    img = smooth_image(rng, 32, 32)
+    th = tw = 16
+    tiles, ty, tx = tiling._prepare_tiles(img, ColorType.GRAY, th, tw)
+    cfg = CONFIG_8BIT
+    nb = num_buckets(cfg)
+    n_tiles, c, t = tiles.shape
+    b_pad = worst_case_payload_bits(n_tiles, c, t, cfg)
+    packed, tile_bytes, total = fused_encode_step(
+        jax.numpy.asarray(tiles), th, tw, cfg, nb, t, b_pad
+    )
+    reference = tiling.compress_tiled_bytes(img, TILE16)
+    hdr = tiling.read_tiled_header(reference)
+    np.testing.assert_array_equal(np.asarray(tile_bytes), hdr.tile_lengths)
+    payload_ref = reference[tiling._FIXED_HEADER.size + 4 * hdr.n_tiles :]
+    got = np.asarray(packed[: int(total)]).tobytes()
+    assert got == payload_ref

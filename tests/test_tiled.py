@@ -1,0 +1,152 @@
+"""FLCT tiled format tests.
+
+Round-trips through the vectorized encoder + vmapped scan decoder, plus an
+independent scalar cross-check: each tile's payload is also decoded with the
+pure-Python oracle (bucketed-k mode) to pin the bitstream layout.
+"""
+
+import numpy as np
+import pytest
+
+from felics_tpu.coding.bitio import BitReader
+from felics_tpu.config import TileConfig, config_for_depth
+from felics_tpu.core import oracle
+from felics_tpu.core.color import ycocg_to_rgb
+from felics_tpu.format import ColorType, PixelDepth
+from felics_tpu.parallel.tiling import (
+    _FIXED_HEADER,
+    compress_tiled_bytes,
+    decompress_tiled_bytes,
+    read_tiled_header,
+)
+
+
+def random_image(rng, width, height, dtype, channels=None):
+    high = np.iinfo(dtype).max + 1
+    shape = (height, width) if channels is None else (height, width, channels)
+    return rng.integers(0, high, size=shape).astype(dtype)
+
+
+def smooth_image(rng, width, height, dtype, channels=None):
+    shape = (height, width) if channels is None else (height, width, channels)
+    steps = rng.integers(-6, 7, size=shape)
+    img = np.cumsum(np.cumsum(steps, axis=0), axis=1) + 128
+    return np.clip(img, 0, np.iinfo(dtype).max).astype(dtype)
+
+
+TILE16 = TileConfig(tile_h=16, tile_w=16)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_gray_round_trip(rng, dtype):
+    for w, h in [(16, 16), (33, 17), (64, 48), (7, 5)]:
+        for maker in (random_image, smooth_image):
+            img = maker(rng, w, h, dtype)
+            data = compress_tiled_bytes(img, TILE16)
+            out = decompress_tiled_bytes(data)
+            np.testing.assert_array_equal(out, img)
+            assert out.dtype == img.dtype
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_rgb_round_trip(rng, dtype):
+    for w, h in [(16, 16), (40, 24), (9, 31)]:
+        img = smooth_image(rng, w, h, dtype, channels=3)
+        data = compress_tiled_bytes(img, TILE16)
+        out = decompress_tiled_bytes(data)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_header_fields(rng):
+    img = random_image(rng, 40, 24, np.uint8)
+    data = compress_tiled_bytes(img, TILE16)
+    hdr = read_tiled_header(data)
+    assert (hdr.width, hdr.height) == (40, 24)
+    assert (hdr.tile_w, hdr.tile_h) == (16, 16)
+    assert hdr.n_tiles == 2 * 3  # ceil(24/16) x ceil(40/16)
+    assert hdr.tile_lengths.sum() + _FIXED_HEADER.size + 4 * hdr.n_tiles == len(data)
+
+
+def test_degenerate_dims():
+    for shape in [(0, 4), (4, 0), (1, 1), (1, 7), (7, 1)]:
+        img = np.arange(np.prod(shape), dtype=np.uint8).reshape(shape) if np.prod(shape) else np.zeros(shape, np.uint8)
+        data = compress_tiled_bytes(img, TILE16)
+        out = decompress_tiled_bytes(data)
+        np.testing.assert_array_equal(out, img)
+
+
+def scalar_decode_tile_stream(tile_bytes, th, tw, channels, cfg):
+    """Independent scalar decode of one tile stream (oracle, bucketed k)."""
+    reader = BitReader(tile_bytes)
+    planes = []
+    for _ in range(channels):
+        planes.append(
+            oracle.decompress_channel(tw, th, cfg, reader, bucketed_k=True)
+        )
+    return planes
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_scalar_cross_validation(rng, dtype):
+    """The vectorized tile streams decode identically with the Python oracle."""
+    img = smooth_image(rng, 35, 21, dtype, channels=3)
+    data = compress_tiled_bytes(img, TILE16)
+    hdr = read_tiled_header(data)
+    cfg = config_for_depth(hdr.pixel_depth)
+    th, tw = hdr.tile_h, hdr.tile_w
+    ty = -(-hdr.height // th)
+    tx = -(-hdr.width // tw)
+
+    payload_off = _FIXED_HEADER.size + 4 * hdr.n_tiles
+    offsets = np.concatenate([[0], np.cumsum(hdr.tile_lengths)])
+    full = decompress_tiled_bytes(data)
+
+    # scalar-decode every tile and compare against the full decode
+    for t in range(hdr.n_tiles):
+        tile_data = data[payload_off + offsets[t] : payload_off + offsets[t + 1]]
+        planes = scalar_decode_tile_stream(tile_data, th, tw, 3, cfg)
+        r, g, b = ycocg_to_rgb(
+            planes[0].astype(np.int32).reshape(th, tw),
+            planes[1].astype(np.int32).reshape(th, tw),
+            planes[2].astype(np.int32).reshape(th, tw),
+        )
+        tyi, txi = divmod(t, tx)
+        y0, x0 = tyi * th, txi * tw
+        y1, x1 = min(y0 + th, hdr.height), min(x0 + tw, hdr.width)
+        expect = full[y0:y1, x0:x1]
+        got = np.stack([r, g, b], axis=-1)[: y1 - y0, : x1 - x0]
+        np.testing.assert_array_equal(got, expect, err_msg=f"tile {t}")
+
+
+def test_tile_independence(rng):
+    """Corrupting one tile's payload must not affect other tiles."""
+    img = smooth_image(rng, 48, 48, np.uint8)
+    data = compress_tiled_bytes(img, TILE16)
+    hdr = read_tiled_header(data)
+    payload_off = _FIXED_HEADER.size + 4 * hdr.n_tiles
+    offsets = np.concatenate([[0], np.cumsum(hdr.tile_lengths)])
+    # corrupt a byte in the middle of tile 4 (interior tile)
+    bad = bytearray(data)
+    mid = payload_off + (offsets[4] + offsets[5]) // 2
+    bad[int(mid)] ^= 0x55
+    try:
+        out = decompress_tiled_bytes(bytes(bad))
+    except Exception:
+        return  # clean error is fine
+    # tiles other than 4 decode identically
+    for t in [0, 1, 2, 3, 5, 6, 7, 8]:
+        tyi, txi = divmod(t, 3)
+        y0, x0 = tyi * 16, txi * 16
+        np.testing.assert_array_equal(
+            out[y0 : y0 + 16, x0 : x0 + 16], img[y0 : y0 + 16, x0 : x0 + 16]
+        )
+
+
+def test_compression_ratio_near_flcs(rng):
+    """Tiled overhead stays small on a realistic smooth image."""
+    from felics_tpu.api import compress_image_bytes
+
+    img = smooth_image(rng, 128, 128, np.uint8)
+    flcs = len(compress_image_bytes(img, backend="oracle"))
+    flct = len(compress_tiled_bytes(img, TileConfig(tile_h=64, tile_w=64)))
+    assert flct < flcs * 1.06
