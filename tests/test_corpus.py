@@ -1,0 +1,82 @@
+"""Corpus round-trip test, mirroring the reference's tests/compress.rs:73-103.
+
+Walks the reference image suite, round-trips every image through the native
+backend, asserts exact equality, and prints per-folder compress/decompress
+wall time and compressed size. By default a fixed subset per folder keeps CI
+fast; set FELICS_TPU_FULL_CORPUS=1 for the full 146-image sweep.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from felics_tpu.api import compress_image_bytes, decompress_image_bytes
+from felics_tpu.io.images import load_image
+
+SUITE = "/root/reference/image-suite"
+FOLDERS = ["grayscale/8bit", "grayscale/16bit", "rgb/8bit"]
+FULL = os.environ.get("FELICS_TPU_FULL_CORPUS") == "1"
+PER_FOLDER = None if FULL else 6
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_native():
+    import subprocess
+    import sys
+
+    subprocess.run([sys.executable, "native/build.py"], check=True)
+    from felics_tpu.native import runtime
+
+    runtime._load_attempted = False
+    runtime._lib = None
+    assert runtime.available()
+
+
+@pytest.mark.skipif(not os.path.isdir(SUITE), reason="corpus not mounted")
+@pytest.mark.parametrize("folder", FOLDERS)
+def test_corpus_round_trip(folder):
+    root = os.path.join(SUITE, folder)
+    files = sorted(f for f in os.listdir(root) if f.endswith((".tiff", ".tif")))
+    if PER_FOLDER:
+        files = files[::max(1, len(files) // PER_FOLDER)][:PER_FOLDER]
+    assert files
+    total_raw = total_compressed = 0
+    ctime = dtime = 0.0
+    for name in files:
+        image = load_image(os.path.join(root, name))
+        t0 = time.perf_counter()
+        data = compress_image_bytes(image, backend="native")
+        t1 = time.perf_counter()
+        out = decompress_image_bytes(data, backend="native")
+        t2 = time.perf_counter()
+        np.testing.assert_array_equal(out, image, err_msg=name)
+        assert out.dtype == image.dtype
+        total_raw += image.nbytes
+        total_compressed += len(data)
+        ctime += t1 - t0
+        dtime += t2 - t1
+    print(
+        f"\n{folder}: {len(files)} images, CTime {ctime:.2f}s DTime {dtime:.2f}s, "
+        f"{total_raw} -> {total_compressed} bytes "
+        f"(ratio {total_raw / total_compressed:.4f})"
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SUITE), reason="corpus not mounted")
+def test_corpus_tiled_round_trip():
+    """A real corpus image through the FLCT tiled path."""
+    from felics_tpu.config import TileConfig
+
+    root = os.path.join(SUITE, "grayscale/8bit")
+    name = sorted(os.listdir(root))[0]
+    image = load_image(os.path.join(root, name))
+    flct = compress_image_bytes(
+        image, container="flct", tile=TileConfig(tile_h=64, tile_w=64)
+    )
+    out = decompress_image_bytes(flct)
+    np.testing.assert_array_equal(out, image)
+    flcs = compress_image_bytes(image, backend="native")
+    # Tiled overhead within a few percent of the single-stream size.
+    assert len(flct) < len(flcs) * 1.05
