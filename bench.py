@@ -108,6 +108,8 @@ def tpu_bench(images):
     pixels = tiles_np.size
     tiles = jnp.asarray(tiles_np)
 
+    from felics_tpu.utils.timing import fetch_rtt, timed
+
     def encode_once():
         s1 = tiling._tiled_stage1(tiles, th, tw, nb)
         (context, low, oor, residual, in_range, above, qctx, rank, max_count) = s1
@@ -118,17 +120,13 @@ def tpu_bench(images):
         )
         total = int(total_bytes)
         b_pad = bitpack.bucket_bits(total * 8)
-        packed = bitpack.pack_bits(flat, offsets, b_pad)
-        jax.block_until_ready(packed)
+        packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
         return packed, tile_bytes, total
 
-    # warm (compiles)
+    # warm (compiles), then honest fetch-synced timing (block_until_ready is
+    # unreliable through tunneled TPU platforms).
     packed, tile_bytes, total = encode_once()
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        packed, tile_bytes, total = encode_once()
-    t_enc = (time.perf_counter() - t0) / iters
+    t_enc = timed(lambda: encode_once()[0])
 
     # Decode the batch on device.
     payload = np.asarray(packed)[: total]
@@ -144,15 +142,10 @@ def tpu_bench(images):
     )
 
     def decode_once():
-        bufs = tiling._decode_tiles(words, starts, th, tw, c, cfg, nb)
-        jax.block_until_ready(bufs)
-        return bufs
+        return tiling._decode_tiles(words, starts, th, tw, c, cfg, nb)
 
     bufs = decode_once()  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        bufs = decode_once()
-    t_dec = (time.perf_counter() - t0) / iters
+    t_dec = timed(decode_once)
 
     # Correctness: decoded tiles match the input batch exactly.
     decoded = np.asarray(bufs).reshape(tiles_np.shape)

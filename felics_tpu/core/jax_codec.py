@@ -96,7 +96,7 @@ def encode_payload(
     offsets, total = bitpack.symbol_offsets(symbols)
     total_bits = int(total)
     b_pad = bitpack.bucket_bits(total_bits)
-    packed = bitpack.pack_bits(symbols, offsets, b_pad)
+    packed = bitpack.pack_bits_scatter(symbols, offsets, b_pad)
     total_bytes = (total_bits + 7) // 8
     return bytes(np.asarray(packed[:total_bytes]).tobytes())
 

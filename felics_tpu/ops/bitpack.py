@@ -2,23 +2,26 @@
 
 Replaces the reference's serial big-endian bit writer
 (bitstream-io BitWriter, used at src/compression.rs:270,358) with a
-data-parallel construction over 32-bit words:
+data-parallel GATHER-based construction over 32-bit words:
 
   1. exclusive prefix-sum over per-symbol bit lengths → every symbol's start
-     offset (and the exact total bit count);
-  2. each symbol's explicit parts (≤ 32 bits each: marker + phase-in / Rice
-     tail, or the raw 32-bit preamble words) straddle at most two output
-     words — two masked scatter-ADDs per part (bit-disjoint contributions, so
-     integer add == bitwise or);
-  3. unary one-runs (Rice quotients, unbounded length): interior full words
-     via a +1/-1 word-interval diff + prefix sum, the ≤ 2 partial edge words
-     via two more mask scatter-adds;
-  4. bytes = big-endian split of the words, trimmed to the byte-aligned
+     offset (and the exact total bit count). The offsets PARTITION the bit
+     stream, so the symbol covering any bit position is found by binary
+     search (vectorized searchsorted);
+  2. every output word reconstructs itself by OR-ing windows of the ≤ R
+     symbols that overlap it: for round j, word w gathers symbol
+     ``first[w] + j`` and computes its 32-bit window arithmetically from the
+     symbol's fixed layout (a-part bits, implicit run of ones, b-part bits).
+     Rounds R = max symbols overlapping one word (host-synced, bucketized;
+     flat image regions emit 1-bit codewords, so R can reach 33). Rounds
+     past a word's last contributor gather a clipped index whose window is
+     zero — or the final symbol again, which OR-idempotence makes harmless;
+  3. bytes = big-endian split of the words, trimmed to the byte-aligned
      total (byte_align zero padding falls out of the zero-initialized plane).
 
-Every step is a dense XLA op (cumsum / segmented scatter-add / reshape); no
-per-bit work anywhere, so packing runs at memory bandwidth regardless of
-codeword lengths.
+All gathers + dense ALU — no scatter anywhere (XLA TPU scatters serialize on
+duplicate indices and were 10x slower), so packing runs at memory bandwidth
+regardless of codeword lengths.
 """
 
 from __future__ import annotations
@@ -43,30 +46,113 @@ def symbol_offsets(symbols: Symbols):
     return offsets, total
 
 
+@jax.jit
+def max_overlap(offsets: jnp.ndarray) -> jnp.ndarray:
+    """Upper bound on symbols overlapping any 32-bit output word.
+
+    A word's contributors are (symbols starting inside it) + at most one
+    spilling in from before, so max over symbols of "starts sharing my word"
+    + 1 bounds the needed pack rounds. Evaluated on the symbol grid (static
+    shape) rather than the word grid, so it stays correct when long symbols
+    make the stream wider than the symbol count.
+    """
+    w_begin = (offsets >> 5) << 5
+    lo = jnp.searchsorted(offsets, w_begin, side="left")
+    hi = jnp.searchsorted(offsets, w_begin + 32, side="left")
+    return jnp.max(hi - lo) + 1
+
+
 def _shl(value, amount):
-    """uint32 << amount with well-defined 0 for amount >= 32."""
+    """uint32 << amount, 0 when amount >= 32 (XLA shift is UB past width)."""
     amount = amount.astype(jnp.uint32)
     return jnp.where(amount < 32, value << jnp.minimum(amount, 31), jnp.uint32(0))
 
 
 def _shr(value, amount):
-    """uint32 >> amount (logical) with well-defined 0 for amount >= 32."""
+    """uint32 >> amount (logical), 0 when amount >= 32."""
     amount = amount.astype(jnp.uint32)
     return jnp.where(amount < 32, value >> jnp.minimum(amount, 31), jnp.uint32(0))
 
 
+def _shift_window(aligned, t):
+    """32-bit window at signed offset ``t`` of an MSB-aligned 32-bit part:
+    positive t looks deeper into the part, negative t pads leading zeros."""
+    return jnp.where(t >= 0, _shl(aligned, t), _shr(aligned, -t))
+
+
+def _range_mask(lo, hi):
+    """uint32 mask with bits [lo, hi) set (bit 0 = MSB), clipped to [0, 32)."""
+    lo = jnp.clip(lo, 0, 32)
+    hi = jnp.clip(hi, 0, 32)
+    return _shr(_ONES, lo) & ~_shr(_ONES, hi)
+
+
+@partial(jax.jit, static_argnames=("b_pad", "rounds"))
+def pack_bits(
+    symbols: Symbols, offsets: jnp.ndarray, b_pad: int, rounds: int = 33
+) -> jnp.ndarray:
+    """Materialize the byte stream.
+
+    ``b_pad``: static bit capacity (multiple of 32) >= total bits.
+    ``rounds``: static bound >= max symbols overlapping one word (33 is
+    always safe for >=1-bit symbols plus one spill-in; pass the host-synced
+    ``max_overlap`` bucket to skip dead rounds).
+    Returns uint8[b_pad // 8].
+    """
+    assert b_pad % 32 == 0
+    num_words = b_pad // 32
+    n = offsets.shape[0]
+
+    a_aligned = jnp.where(
+        symbols.a_len > 0, _shl(symbols.a_val.astype(jnp.uint32), 32 - symbols.a_len),
+        jnp.uint32(0),
+    )
+    b_aligned = jnp.where(
+        symbols.b_len > 0, _shl(symbols.b_val.astype(jnp.uint32), 32 - symbols.b_len),
+        jnp.uint32(0),
+    )
+
+    w0 = (jnp.arange(num_words, dtype=jnp.int32) << 5)
+    first = (jnp.searchsorted(offsets, w0, side="right") - 1).astype(jnp.int32)
+    first = jnp.maximum(first, 0)
+
+    def round_contrib(j, acc):
+        idx = jnp.minimum(first + j, n - 1)
+        o = offsets[idx]
+        t = w0 - o  # window offset into the symbol (negative: starts mid-word)
+        al = symbols.a_len[idx]
+        q = symbols.q[idx]
+        bl = symbols.b_len[idx]
+        wa = _shift_window(a_aligned[idx], t)
+        ones = _range_mask(al - t, al + q - t)
+        wb = _shift_window(b_aligned[idx], t - (al + q))
+        return acc | wa | ones | wb
+
+    acc = jnp.zeros((num_words,), jnp.uint32)
+    for j in range(rounds):
+        acc = round_contrib(j, acc)
+
+    shifted = jnp.stack(
+        [acc >> 24, acc >> 16, acc >> 8, acc], axis=1
+    ).astype(jnp.uint8)
+    return shifted.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("b_pad",))
-def pack_bits(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray:
-    """Materialize the byte stream. ``b_pad``: static bit-capacity (multiple
-    of 32) >= total bits, host-synced and bucketized. Returns uint8[b_pad//8].
+def pack_bits_scatter(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray:
+    """Scatter-add variant of the packer (same output as pack_bits).
+
+    Each symbol's explicit parts scatter-add into the ≤ 2 words they straddle
+    (bit-disjoint => add == or); unary runs set interior full words by a
+    word-interval diff + cumsum and the partial edge words by mask scatters.
+    Kept alongside the gather packer so benchmarks can pick the faster
+    lowering per platform.
     """
     assert b_pad % 32 == 0
     num_words = b_pad // 32
     acc = jnp.zeros((num_words,), jnp.uint32)
 
     def add_part(acc, value, length, start):
-        # Left-align the part's bits in a 32-bit lane, split across the two
-        # words it may straddle, and scatter-add (bit-disjoint => add == or).
         value = value.astype(jnp.uint32)
         aligned = jnp.where(length > 0, _shl(value, 32 - length), jnp.uint32(0))
         w0 = start >> 5
@@ -81,13 +167,12 @@ def pack_bits(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray
     b_start = offsets + symbols.a_len + symbols.q
     acc = add_part(acc, symbols.b_val, symbols.b_len, b_start)
 
-    # Unary one-runs [rs, re).
     rs = offsets + symbols.a_len
     re = rs + symbols.q
     has = symbols.q > 0
     head_w = rs >> 5
     head_start = rs & 31
-    head_cap = jnp.minimum(re - (head_w << 5), 32)  # end bit within head word
+    head_cap = jnp.minimum(re - (head_w << 5), 32)
     head_mask = _shr(_ONES, head_start) & ~_shr(_ONES, head_cap)
     acc = acc.at[jnp.where(has, head_w, num_words)].add(
         jnp.where(has, head_mask, jnp.uint32(0)), mode="drop"
@@ -99,7 +184,6 @@ def pack_bits(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray
     acc = acc.at[jnp.where(tail_valid, tail_w, num_words)].add(
         jnp.where(tail_valid, tail_mask, jnp.uint32(0)), mode="drop"
     )
-    # Interior full words [ceil(rs/32), floor(re/32)).
     full_lo = (rs + 31) >> 5
     full_hi = tail_w
     span = has & (full_hi > full_lo)
@@ -113,11 +197,18 @@ def pack_bits(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray
     full = jnp.cumsum(diff[:-1], dtype=jnp.int32) > 0
     words = acc | jnp.where(full, _ONES, jnp.uint32(0))
 
-    # Big-endian byte split.
     shifted = jnp.stack(
         [words >> 24, words >> 16, words >> 8, words], axis=1
     ).astype(jnp.uint8)
     return shifted.reshape(-1)
+
+
+def bucket_rounds(max_over: int) -> int:
+    """Bucket the overlap bound to limit recompilation."""
+    for b in (4, 8, 12, 16, 24, 33):
+        if max_over <= b:
+            return b
+    return 33
 
 
 def bucket_bits(total_bits: int, minimum: int = 1 << 12) -> int:

@@ -97,7 +97,10 @@ def kscan_tiled(
         return new_table, k_out
 
     init = jnp.zeros((rows, num_k), jnp.int32)
-    _, k_by_rank = jax.lax.scan(step, init, (u.T, u_valid.T))  # (r_pad, rows)
+    # unroll amortizes per-step dispatch overhead across rank updates.
+    _, k_by_rank = jax.lax.scan(
+        step, init, (u.T, u_valid.T), unroll=8
+    )  # (r_pad, rows)
 
     k = k_by_rank[jnp.clip(rank, 0, r_pad - 1), row_id].astype(jnp.int32)
     return jnp.where(oor, k, k_values[num_k - 1])

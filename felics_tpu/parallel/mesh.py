@@ -69,7 +69,7 @@ def fused_encode_step(
         tiles, context, low, oor, residual, in_range, above, qctx, rank,
         th, tw, cfg, nb, r_pad,
     )
-    packed = bitpack.pack_bits(flat, offsets, b_pad)
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
     return packed, tile_bytes, total_bytes
 
 
@@ -133,7 +133,7 @@ def encode_tiled_sharded(
     )
     total = int(total_bytes)
     b_pad = bitpack.bucket_bits(total * 8)
-    packed = bitpack.pack_bits(flat, offsets, b_pad)
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
 
     tile_bytes_np = np.asarray(tile_bytes)[:n_tiles]
     payload_len = int(tile_bytes_np.sum())

@@ -265,7 +265,7 @@ def compress_tiled_bytes(
     )
     total = int(total_bytes)
     b_pad = bitpack.bucket_bits(total * 8)
-    packed = bitpack.pack_bits(flat, offsets, b_pad)
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
 
     n_tiles = ty * tx
     header = _FIXED_HEADER.pack(
@@ -405,7 +405,10 @@ def _decode_tiles(
         table0 = jnp.zeros((nb, num_k), jnp.int32)
         buf0 = jnp.zeros((c * t,), jnp.int32)
         (end_pos, _, buf), _ = jax.lax.scan(
-            step, (start_bit, table0, buf0), jnp.arange(c * t, dtype=jnp.int32)
+            step,
+            (start_bit, table0, buf0),
+            jnp.arange(c * t, dtype=jnp.int32),
+            unroll=4,
         )
         return buf
 
