@@ -90,9 +90,21 @@ def compress_image_bytes(
     (tiled-parallel TPU format; always encoded on the jax backend)."""
     image = np.ascontiguousarray(image)
     if container == "flct":
+        from felics_tpu.config import TileConfig
+
+        tile_cfg = tile or TileConfig()
+        if _resolve_backend(backend, for_encode=True) == "native" and backend != "jax":
+            from felics_tpu.native import runtime as native_runtime
+
+            return native_runtime.compress_tiled(
+                image,
+                header_for_array(image),
+                tile_cfg.tile_w,
+                tile_cfg.tile_h,
+            )
         from felics_tpu.parallel import tiling
 
-        return tiling.compress_tiled_bytes(image, tile)
+        return tiling.compress_tiled_bytes(image, tile_cfg)
     if container != "flcs":
         raise ValueError(f"unknown container {container!r}")
     header = header_for_array(image)
@@ -134,6 +146,10 @@ def decompress_image(from_: BinaryIO, backend: str = "auto") -> np.ndarray:
 
 def decompress_image_bytes(data: bytes, backend: str = "auto") -> np.ndarray:
     if data[:4] == b"FLCT":
+        if _resolve_backend(backend, for_encode=False) == "native" and backend != "jax":
+            from felics_tpu.native import runtime as native_runtime
+
+            return native_runtime.decompress_tiled(data)
         from felics_tpu.parallel import tiling
 
         return tiling.decompress_tiled_bytes(data)

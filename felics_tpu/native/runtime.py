@@ -79,6 +79,30 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.fel_free.restype = None
     lib.fel_free.argtypes = [ctypes.c_void_p]
+    lib.fel_compress_tiled.restype = ctypes.c_int
+    lib.fel_compress_tiled.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_uint32,
+        ctypes.c_uint32,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint16,
+        ctypes.c_uint16,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fel_decompress_tiled.restype = ctypes.c_int
+    lib.fel_decompress_tiled.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_size_t,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     _lib = lib
     return _lib
 
@@ -114,6 +138,73 @@ def compress(image: np.ndarray, header: Header) -> bytes:
         return ctypes.string_at(out_ptr, out_len.value)
     finally:
         lib.fel_free(out_ptr)
+
+
+def compress_tiled(
+    image: np.ndarray, header: Header, tile_w: int, tile_h: int, n_threads: int = 0
+) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run native/build.py")
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    flat = np.ascontiguousarray(image.reshape(-1), dtype=np.int32)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    code = lib.fel_compress_tiled(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        header.width,
+        header.height,
+        int(header.color_type),
+        int(header.pixel_depth),
+        tile_w,
+        tile_h,
+        n_threads,
+        ctypes.byref(out_ptr),
+        ctypes.byref(out_len),
+    )
+    if code != 0:
+        _raise(code)
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.fel_free(out_ptr)
+
+
+def decompress_tiled(data: bytes, n_threads: int = 0) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run native/build.py")
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    out_ptr = ctypes.POINTER(ctypes.c_int32)()
+    width = ctypes.c_uint32()
+    height = ctypes.c_uint32()
+    color = ctypes.c_int()
+    depth = ctypes.c_int()
+    code = lib.fel_decompress_tiled(
+        buf,
+        len(data),
+        n_threads,
+        ctypes.byref(out_ptr),
+        ctypes.byref(width),
+        ctypes.byref(height),
+        ctypes.byref(color),
+        ctypes.byref(depth),
+    )
+    if code != 0:
+        _raise(code)
+    try:
+        nchan = 1 if color.value == int(ColorType.GRAY) else 3
+        n = width.value * height.value * nchan
+        arr = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy() if n else np.zeros(0, np.int32)
+    finally:
+        lib.fel_free(out_ptr)
+    dtype = np.uint8 if depth.value == int(PixelDepth.EIGHT) else np.uint16
+    if nchan == 1:
+        return arr.astype(dtype).reshape(height.value, width.value)
+    return arr.astype(dtype).reshape(height.value, width.value, 3)
 
 
 def decompress(data: bytes, header: Header) -> np.ndarray:

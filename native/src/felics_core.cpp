@@ -18,9 +18,12 @@
 // C ABI (see felics_tpu/native/runtime.py):
 //   fel_compress / fel_decompress / fel_free, plus fel_version.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -281,8 +284,16 @@ inline void neighbours(size_t i, size_t w, size_t* a, size_t* b) {
 // ---------------------------------------------------------------------------
 // Channel codec
 // ---------------------------------------------------------------------------
+// FLCT's k-estimator bucketing: bit_length(context) (see
+// felics_tpu/ops/kscan_tiled.py). FLCS uses the exact context.
+inline uint32_t k_context(uint32_t context, bool bucketed) {
+  if (!bucketed) return context;
+  return context == 0 ? 0 : 32 - __builtin_clz(context);
+}
+
 void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
-                      const CodingParams& params, BitSink& sink) {
+                      const CodingParams& params, BitSink& sink,
+                      bool bucketed_k = false) {
   const size_t total = static_cast<size_t>(width) * height;
   if (width == 0 || height == 0) {
     sink.put_i32(0);
@@ -311,7 +322,8 @@ void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
       sink.put_bit(1);
       PhaseIn(context + 1).encode(sink, static_cast<uint32_t>(p - l));
     } else {
-      const uint32_t k = estimator.get_k(context);
+      const uint32_t kctx = k_context(context, bucketed_k);
+      const uint32_t k = estimator.get_k(kctx);
       uint32_t to_encode;
       if (p < l) {
         sink.put(2, 0b00);
@@ -321,14 +333,14 @@ void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
         to_encode = static_cast<uint32_t>(p - h - 1);
       }
       rice_encode(sink, k, to_encode);
-      estimator.update(context, to_encode);
+      estimator.update(kctx, to_encode);
     }
   }
 }
 
 int decompress_channel(uint32_t width, uint32_t height,
                        const CodingParams& params, BitSource& src,
-                       int32_t* out) {
+                       int32_t* out, bool bucketed_k = false) {
   int32_t pixel1, pixel2;
   if (!src.get_i32(&pixel1) || !src.get_i32(&pixel2)) return FEL_EIO;
   if (width == 0 || height == 0) return FEL_OK;
@@ -362,10 +374,11 @@ int decompress_channel(uint32_t width, uint32_t height,
     } else {
       uint32_t above;
       if (!src.get_bit(&above)) return FEL_EIO;
-      const uint32_t k = estimator.get_k(context);
+      const uint32_t kctx = k_context(context, bucketed_k);
+      const uint32_t k = estimator.get_k(kctx);
       uint32_t encoded;
       if (!rice_decode(src, k, &encoded)) return FEL_EIO;
-      estimator.update(context, encoded);
+      estimator.update(kctx, encoded);
       if (encoded > 0x7FFFFFFFu) return FEL_EINVALID_VALUE;
       value = above ? static_cast<int64_t>(encoded) + h + 1
                     : static_cast<int64_t>(l) - encoded - 1;
@@ -532,6 +545,250 @@ int fel_decompress(const uint8_t* data, size_t len, int32_t** out_pixels,
   if (status != FEL_OK) {
     free(result);
     return status;
+  }
+  *out_pixels = result;
+  *width = w;
+  *height = h;
+  *color_type = color;
+  *pixel_depth = depth;
+  return FEL_OK;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLCT tiled container (spec: felics_tpu/parallel/tiling.py).
+// Tiles are independent streams -> encode/decode parallelize across a thread
+// pool; the k-estimator is indexed by bit_length(context).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr size_t kTiledFixedHeader = 24;
+
+void write_u16be(std::vector<uint8_t>& out, uint16_t v) {
+  out.push_back(static_cast<uint8_t>(v >> 8));
+  out.push_back(static_cast<uint8_t>(v));
+}
+
+void write_u32be(std::vector<uint8_t>& out, uint32_t v) {
+  for (int s = 24; s >= 0; s -= 8) out.push_back(static_cast<uint8_t>(v >> s));
+}
+
+uint32_t read_u32be(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) | (static_cast<uint32_t>(p[1]) << 16) |
+         (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+inline void tile_plane(const int32_t* pixels, uint32_t width, uint32_t height,
+                       int nchan, int chan, uint32_t ty, uint32_t tx,
+                       uint32_t th, uint32_t tw, int32_t* out) {
+  // Extract one channel plane of one tile with edge-replicate padding,
+  // applying YCoCg-R on the fly for RGB (channel 0=Y, 1=Co, 2=Cg).
+  for (uint32_t yy = 0; yy < th; ++yy) {
+    const uint32_t sy = ty * th + yy < height ? ty * th + yy : height - 1;
+    for (uint32_t xx = 0; xx < tw; ++xx) {
+      const uint32_t sx = tx * tw + xx < width ? tx * tw + xx : width - 1;
+      const size_t src = (static_cast<size_t>(sy) * width + sx) * nchan;
+      int32_t v;
+      if (nchan == 1) {
+        v = pixels[src];
+      } else {
+        int32_t y, co, cg;
+        to_ycocg(pixels[src], pixels[src + 1], pixels[src + 2], &y, &co, &cg);
+        v = chan == 0 ? y : (chan == 1 ? co : cg);
+      }
+      out[yy * tw + xx] = v;
+    }
+  }
+}
+
+void run_on_pool(int n_threads, size_t n_items,
+                 const std::function<void(size_t)>& fn) {
+  if (n_threads <= 1 || n_items <= 1) {
+    for (size_t i = 0; i < n_items; ++i) fn(i);
+    return;
+  }
+  const size_t workers =
+      std::min<size_t>(n_threads, std::max<size_t>(1, n_items));
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  for (size_t t = 0; t < workers; ++t) {
+    pool.emplace_back([&, t]() {
+      for (size_t i = t; i < n_items; i += workers) fn(i);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
+                       int color_type, int pixel_depth, uint16_t tile_w,
+                       uint16_t tile_h, int n_threads, uint8_t** out,
+                       size_t* out_len) {
+  if (color_type != kColorGray && color_type != kColorRgb)
+    return FEL_ECOLOR_TYPE;
+  if (pixel_depth != kDepth8 && pixel_depth != kDepth16)
+    return FEL_EPIXEL_DEPTH;
+  const CodingParams params = params_for_depth(pixel_depth);
+  const int nchan = color_type == kColorGray ? 1 : 3;
+
+  uint32_t th = tile_h, tw = tile_w;
+  if (height > 0 && th > height) th = height;
+  if (width > 0 && tw > width) tw = width;
+  if (th < 2) th = 2;
+  if (tw < 2) tw = 2;
+
+  const uint32_t ty_n = height ? (height + th - 1) / th : 0;
+  const uint32_t tx_n = width ? (width + tw - 1) / tw : 0;
+  const uint32_t n_tiles = (width && height) ? ty_n * tx_n : 0;
+
+  std::vector<std::vector<uint8_t>> streams(n_tiles);
+  run_on_pool(n_threads, n_tiles, [&](size_t t) {
+    const uint32_t tyi = static_cast<uint32_t>(t) / tx_n;
+    const uint32_t txi = static_cast<uint32_t>(t) % tx_n;
+    std::vector<int32_t> plane(static_cast<size_t>(th) * tw);
+    BitSink sink(&streams[t]);
+    for (int c = 0; c < nchan; ++c) {
+      tile_plane(pixels, width, height, nchan, c, tyi, txi, th, tw,
+                 plane.data());
+      compress_channel(plane.data(), tw, th, params, sink, /*bucketed_k=*/true);
+    }
+    sink.byte_align();
+  });
+
+  std::vector<uint8_t> buf;
+  const uint8_t magic[4] = {'F', 'L', 'C', 'T'};
+  buf.insert(buf.end(), magic, magic + 4);
+  buf.push_back(static_cast<uint8_t>(color_type));
+  buf.push_back(static_cast<uint8_t>(pixel_depth));
+  write_u32be(buf, width);
+  write_u32be(buf, height);
+  write_u16be(buf, static_cast<uint16_t>(tw));
+  write_u16be(buf, static_cast<uint16_t>(th));
+  write_u16be(buf, 0);  // flags
+  write_u32be(buf, n_tiles);
+  for (const auto& s : streams) write_u32be(buf, static_cast<uint32_t>(s.size()));
+  for (const auto& s : streams) buf.insert(buf.end(), s.begin(), s.end());
+
+  uint8_t* result = static_cast<uint8_t*>(malloc(buf.size() ? buf.size() : 1));
+  if (!result) return FEL_ENOMEM;
+  memcpy(result, buf.data(), buf.size());
+  *out = result;
+  *out_len = buf.size();
+  return FEL_OK;
+}
+
+int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
+                         int32_t** out_pixels, uint32_t* width,
+                         uint32_t* height, int* color_type, int* pixel_depth) {
+  if (len < kTiledFixedHeader) return FEL_EIO;
+  if (memcmp(data, "FLCT", 4) != 0) return FEL_ESIGNATURE;
+  const int color = data[4];
+  const int depth = data[5];
+  if (color != kColorGray && color != kColorRgb) return FEL_ECOLOR_TYPE;
+  if (depth != kDepth8 && depth != kDepth16) return FEL_EPIXEL_DEPTH;
+  const uint32_t w = read_u32be(data + 6);
+  const uint32_t h = read_u32be(data + 10);
+  const uint32_t tw = (data[14] << 8) | data[15];
+  const uint32_t th = (data[16] << 8) | data[17];
+  const uint32_t flags = (data[18] << 8) | data[19];
+  const uint32_t n_tiles = read_u32be(data + 20);
+  if (flags != 0) return FEL_EINVALID_VALUE;
+  if (len < kTiledFixedHeader + 4ull * n_tiles) return FEL_EIO;
+
+  const uint64_t total64 = static_cast<uint64_t>(w) * h;
+  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  const int nchan = color == kColorGray ? 1 : 3;
+  const CodingParams params = params_for_depth(depth);
+
+  int32_t* result = static_cast<int32_t*>(
+      malloc(total64 ? total64 * nchan * sizeof(int32_t) : 4));
+  if (!result) return FEL_ENOMEM;
+
+  if (total64 == 0 || n_tiles == 0) {
+    *out_pixels = result;
+    *width = w;
+    *height = h;
+    *color_type = color;
+    *pixel_depth = depth;
+    return FEL_OK;
+  }
+
+  const uint32_t ty_n = (h + th - 1) / th;
+  const uint32_t tx_n = (w + tw - 1) / tw;
+  if (ty_n * tx_n != n_tiles || th < 2 || tw < 2) {
+    free(result);
+    return FEL_EDIMENSIONS;
+  }
+
+  // Per-tile payload offsets.
+  std::vector<size_t> starts(n_tiles + 1, 0);
+  const uint8_t* table = data + kTiledFixedHeader;
+  for (uint32_t t = 0; t < n_tiles; ++t)
+    starts[t + 1] = starts[t] + read_u32be(table + 4ull * t);
+  const uint8_t* payload = table + 4ull * n_tiles;
+  if (len < kTiledFixedHeader + 4ull * n_tiles + starts[n_tiles]) {
+    free(result);
+    return FEL_EIO;
+  }
+
+  const int32_t lo = 0;
+  const int32_t hi = depth == kDepth8 ? 255 : 65535;
+  std::vector<int> statuses(n_tiles, FEL_OK);
+  run_on_pool(n_threads, n_tiles, [&](size_t t) {
+    const uint32_t tyi = static_cast<uint32_t>(t) / tx_n;
+    const uint32_t txi = static_cast<uint32_t>(t) % tx_n;
+    BitSource src(payload + starts[t], starts[t + 1] - starts[t]);
+    const size_t tsz = static_cast<size_t>(th) * tw;
+    std::vector<int32_t> planes(tsz * nchan);
+    for (int c = 0; c < nchan; ++c) {
+      int st = decompress_channel(tw, th, params, src, planes.data() + c * tsz,
+                                  /*bucketed_k=*/true);
+      if (st != FEL_OK) {
+        statuses[t] = st;
+        return;
+      }
+    }
+    // Crop + inverse transform into the output image.
+    for (uint32_t yy = 0; yy < th; ++yy) {
+      const uint32_t dy = tyi * th + yy;
+      if (dy >= h) break;
+      for (uint32_t xx = 0; xx < tw; ++xx) {
+        const uint32_t dx = txi * tw + xx;
+        if (dx >= w) continue;
+        const size_t p = yy * tw + xx;
+        const size_t dst = (static_cast<size_t>(dy) * w + dx) * nchan;
+        if (nchan == 1) {
+          const int32_t v = planes[p];
+          if (v < lo || v > hi) {
+            statuses[t] = FEL_EINVALID_VALUE;
+            return;
+          }
+          result[dst] = v;
+        } else {
+          int32_t r, g, b;
+          to_rgb(planes[p], planes[tsz + p], planes[2 * tsz + p], &r, &g, &b);
+          if (r < lo || r > hi || g < lo || g > hi || b < lo || b > hi) {
+            statuses[t] = FEL_EINVALID_VALUE;
+            return;
+          }
+          result[dst] = r;
+          result[dst + 1] = g;
+          result[dst + 2] = b;
+        }
+      }
+    }
+  });
+
+  for (uint32_t t = 0; t < n_tiles; ++t) {
+    if (statuses[t] != FEL_OK) {
+      free(result);
+      return statuses[t];
+    }
   }
   *out_pixels = result;
   *width = w;
