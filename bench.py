@@ -26,7 +26,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 SUITE = "/root/reference/image-suite/grayscale/8bit"
-TILE = 64
+TILE = 32
 MAX_IMAGES = 12
 
 

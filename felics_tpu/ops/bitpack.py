@@ -142,20 +142,26 @@ def pack_bits(
 def pack_bits_scatter(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray:
     """Scatter-add variant of the packer (same output as pack_bits).
 
-    Each symbol's explicit parts scatter-add into the ≤ 2 words they straddle
-    (bit-disjoint => add == or); unary runs set interior full words by a
-    word-interval diff + cumsum and the partial edge words by mask scatters.
-    Kept alongside the gather packer so benchmarks can pick the faster
-    lowering per platform.
+    Fast path: symbols whose whole codeword fits 32 bits (the vast majority —
+    marker + phase-in or marker + short Rice) compose a|ones|b into ONE
+    32-bit part arithmetically and scatter-add just the ≤ 2 straddled words.
+    Slow path (raw preambles, long unary runs): per-part scatters plus a
+    word-interval diff + cumsum for run interiors. Bit-disjoint contributions
+    make integer add == bitwise or throughout.
     """
     assert b_pad % 32 == 0
     num_words = b_pad // 32
     acc = jnp.zeros((num_words,), jnp.uint32)
 
-    def add_part(acc, value, length, start):
+    total_len = symbols.a_len + symbols.q + symbols.b_len
+    small = total_len <= 32
+
+    def add_part(acc, value, length, start, active):
         value = value.astype(jnp.uint32)
-        aligned = jnp.where(length > 0, _shl(value, 32 - length), jnp.uint32(0))
-        w0 = start >> 5
+        aligned = jnp.where(
+            active & (length > 0), _shl(value, 32 - length), jnp.uint32(0)
+        )
+        w0 = jnp.where(active, start >> 5, num_words)
         bit_off = start & 31
         c0 = _shr(aligned, bit_off)
         c1 = jnp.where(bit_off > 0, _shl(aligned, 32 - bit_off), jnp.uint32(0))
@@ -163,13 +169,26 @@ def pack_bits_scatter(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp
         acc = acc.at[w0 + 1].add(c1, mode="drop")
         return acc
 
-    acc = add_part(acc, symbols.a_val, symbols.a_len, offsets)
+    # Fast path: whole symbol as one part.
+    ones_q = _shl(jnp.uint32(1), symbols.q) - 1  # q < 32 when small
+    merged = (
+        _shl(
+            _shl(symbols.a_val.astype(jnp.uint32), symbols.q) | ones_q,
+            symbols.b_len,
+        )
+        | symbols.b_val.astype(jnp.uint32)
+    )
+    acc = add_part(acc, merged, total_len, offsets, small)
+
+    # Slow path: per-part scatters for oversized symbols.
+    big = ~small
+    acc = add_part(acc, symbols.a_val, symbols.a_len, offsets, big)
     b_start = offsets + symbols.a_len + symbols.q
-    acc = add_part(acc, symbols.b_val, symbols.b_len, b_start)
+    acc = add_part(acc, symbols.b_val, symbols.b_len, b_start, big)
 
     rs = offsets + symbols.a_len
     re = rs + symbols.q
-    has = symbols.q > 0
+    has = (symbols.q > 0) & big
     head_w = rs >> 5
     head_start = rs & 31
     head_cap = jnp.minimum(re - (head_w << 5), 32)

@@ -1,0 +1,144 @@
+"""Batched multi-image FLCT encode/decode.
+
+Throughput on a TPU comes from amortizing the per-dispatch and per-scan-step
+costs over as many tiles as possible. These helpers take a LIST of images,
+fuse every tile of every image into one device program (tiles are uniform
+(C, tile_h*tile_w) blocks regardless of source image size), and split the
+results back into per-image FLCT containers. This is the production serving
+path; per-image APIs in tiling.py are the convenience path.
+
+All images in a batch must share dtype and channel count (tile geometry is
+shared); sizes may differ freely.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from felics_tpu.config import TileConfig, config_for_depth
+from felics_tpu.format import ColorType, PixelDepth
+from felics_tpu.ops import bitpack
+from felics_tpu.ops.kscan import _bucket
+from felics_tpu.ops.kscan_tiled import num_buckets
+from felics_tpu.parallel import tiling
+
+
+def compress_tiled_batch(
+    images: Sequence[np.ndarray], tile: Optional[TileConfig] = None
+) -> List[bytes]:
+    from felics_tpu.api import header_for_array
+
+    if not images:
+        return []
+    tile = tile or TileConfig()
+    headers = [header_for_array(im) for im in images]
+    depth = headers[0].pixel_depth
+    color = headers[0].color_type
+    if any(h.pixel_depth != depth or h.color_type != color for h in headers):
+        raise ValueError("batch images must share dtype and channel count")
+    th, tw = tile.tile_h, tile.tile_w
+    if any(h.height < th or h.width < tw for h in headers):
+        # Mixed clamping would break tile uniformity; fall back per-image.
+        return [tiling.compress_tiled_bytes(im, tile) for im in images]
+
+    cfg = config_for_depth(depth)
+    nb = num_buckets(cfg)
+
+    parts = [
+        tiling._prepare_tiles(im, color, th, tw) for im in images
+    ]
+    counts = [p[0].shape[0] for p in parts]
+    tiles = jnp.asarray(np.concatenate([p[0] for p in parts]))
+
+    (context, low, oor, residual, in_range, above, qctx, rank, max_count) = (
+        tiling._tiled_stage1(tiles, th, tw, nb)
+    )
+    r_pad = _bucket(max(1, int(max_count)))
+    flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
+        tiles, context, low, oor, residual, in_range, above, qctx, rank,
+        th, tw, cfg, nb, r_pad,
+    )
+    total = int(total_bytes)
+    b_pad = bitpack.bucket_bits(total * 8)
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
+
+    lengths = np.asarray(tile_bytes)
+    payload = np.asarray(packed[:total]).tobytes()
+    tile_pos = np.concatenate([[0], np.cumsum(lengths)])
+
+    out: List[bytes] = []
+    t0 = 0
+    for header, n_t in zip(headers, counts):
+        t1 = t0 + n_t
+        hdr = tiling._FIXED_HEADER.pack(
+            tiling.MAGIC_TILED, int(color), int(depth),
+            header.width, header.height, tw, th, 0, n_t,
+        )
+        table = lengths[t0:t1].astype(">u4").tobytes()
+        body = payload[tile_pos[t0] : tile_pos[t1]]
+        out.append(hdr + table + bytes(body))
+        t0 = t1
+    return out
+
+
+def decompress_tiled_batch(datas: Sequence[bytes]) -> List[np.ndarray]:
+    if not datas:
+        return []
+    headers = [tiling.read_tiled_header(d) for d in datas]
+    h0 = headers[0]
+    if any(
+        (h.tile_h, h.tile_w, h.pixel_depth, h.color_type)
+        != (h0.tile_h, h0.tile_w, h0.pixel_depth, h0.color_type)
+        for h in headers
+    ) or any(h.n_tiles == 0 for h in headers):
+        return [tiling.decompress_tiled_bytes(d) for d in datas]
+
+    cfg = config_for_depth(h0.pixel_depth)
+    nb = num_buckets(cfg)
+    th, tw, c = h0.tile_h, h0.tile_w, h0.num_channels
+
+    payload_parts = []
+    starts_list = []
+    base_bits = 0
+    for d, h in zip(datas, headers):
+        off = tiling._FIXED_HEADER.size + 4 * h.n_tiles
+        payload = np.frombuffer(d[off:], dtype=np.uint8)
+        pad = (-len(payload)) % 4
+        if pad:
+            payload = np.concatenate([payload, np.zeros(pad, np.uint8)])
+        tile_starts = (
+            np.concatenate([[0], np.cumsum(h.tile_lengths)[:-1]]) * 8 + base_bits
+        )
+        starts_list.append(tile_starts)
+        payload_parts.append(payload)
+        base_bits += len(payload) * 8
+
+    arr = np.concatenate(payload_parts)
+    w32 = arr.reshape(-1, 4).astype(np.uint32)
+    words = jnp.asarray(
+        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+    )
+    starts = jnp.asarray(np.concatenate(starts_list).astype(np.int32))
+    bufs = tiling._decode_tiles(words, starts, th, tw, c, cfg, nb)
+
+    depth_max = 255 if h0.pixel_depth == PixelDepth.EIGHT else 65535
+    out: List[np.ndarray] = []
+    t0 = 0
+    for h in headers:
+        ty = -(-h.height // th)
+        tx = -(-h.width // tw)
+        sub = bufs[t0 : t0 + h.n_tiles]
+        img, valid = tiling._assemble_image(
+            sub, th, tw, c, ty, tx, h.height, h.width, depth_max
+        )
+        if not bool(valid):
+            from felics_tpu import errors
+
+            raise errors.InvalidValue("decoded value does not fit the pixel depth")
+        out.append(np.asarray(img))
+        t0 += h.n_tiles
+    return out

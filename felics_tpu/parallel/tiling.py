@@ -306,33 +306,34 @@ def _decode_tiles(
 ):
     """vmapped sequential decode of every tile at once.
 
-    Returns (n_tiles, C, T) int32 planes.
+    Per-step cost is the decode bottleneck, so the step is engineered around
+    TPU costs: ONE aligned 64-bit window (3 word gathers) feeds the marker,
+    phase-in code, unary run, and Rice remainder extractions arithmetically;
+    the k-table row select/update is dense one-hot math (no gather/scatter);
+    the long-unary fallback while_loop body never executes unless some lane's
+    quotient overruns the window (rare). Returns (n_tiles, C, T) int32.
     """
     t = th * tw
     k_values = jnp.asarray(cfg.k_values, dtype=jnp.int32)
     num_k = cfg.num_k
     a_idx, b_idx = neighbour_indices(th, tw, xp=jnp)
+    bucket_ids = jnp.arange(nb, dtype=jnp.int32)
     read = _read_bits_fn(words)
 
-    def read_unary(pos):
-        def cond(state):
-            _, _, done = state
-            return ~done
+    def shr32(v, s):
+        s = s.astype(jnp.uint32)
+        return jnp.where(s < 32, v >> jnp.minimum(s, 31), jnp.uint32(0))
 
-        def body(state):
-            q, p, _ = state
-            window = read(p, 32)
-            inverted = (~window) & jnp.uint32(0xFFFFFFFF)
-            lead = jnp.where(inverted == 0, 32, jax.lax.clz(inverted)).astype(
-                jnp.int32
-            )
-            finished = lead < 32
-            return q + lead, p + lead + jnp.where(finished, 1, 0), finished
+    def shl32(v, s):
+        s = s.astype(jnp.uint32)
+        return jnp.where(s < 32, v << jnp.minimum(s, 31), jnp.uint32(0))
 
-        q, p, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), pos, jnp.bool_(False))
-        )
-        return q, p
+    def window_bits(win0, win1, s, n):
+        """n bits at offset s (s in [0, 64), s+n <= 64, n traced <= 31)."""
+        lo = shl32(win0, s) | jnp.where(s > 0, shr32(win1, 32 - s), 0)
+        hi = shl32(win1, s - 32)
+        x = jnp.where(s < 32, lo, hi)
+        return shr32(x, 32 - n)
 
     def decode_tile(start_bit):
         def step(state, i):
@@ -343,43 +344,89 @@ def _decode_tiles(
             # per-(tile, channel) domains and FLCS's per-channel estimator).
             table = table * jnp.where(j == 0, 0, 1)
 
+            # Aligned 64-bit window at the cursor: 3 word gathers total.
+            wi = pos >> 5
+            off = (pos & 31).astype(jnp.uint32)
+            last = words.shape[0] - 1
+            w_a = words[jnp.minimum(wi, last)]
+            w_b = words[jnp.minimum(wi + 1, last)]
+            w_c = words[jnp.minimum(wi + 2, last)]
+            carry = jnp.where(off > 0, w_b >> (jnp.uint32(32) - off), jnp.uint32(0))
+            win0 = (w_a << off) | carry
+            carry2 = jnp.where(off > 0, w_c >> (jnp.uint32(32) - off), jnp.uint32(0))
+            win1 = (w_b << off) | carry2
+
             # Raw 32-bit preamble for the first two pixels of each channel.
-            raw = jax.lax.bitcast_convert_type(read(pos, 32), jnp.int32)
+            raw = jax.lax.bitcast_convert_type(win0, jnp.int32)
 
             va = buf[ch * t + a_idx[j]]
             vb = buf[ch * t + b_idx[j]]
             h = jnp.maximum(va, vb)
             l = jnp.minimum(va, vb)
             ctx = jnp.clip(h - l, 0, cfg.max_context)
-            qc = jnp.clip(qctx_of(ctx), 0, nb - 1)
+            qc = qctx_of(ctx)
 
-            row = table[qc]
+            onehot = (bucket_ids == qc).astype(jnp.int32)  # (nb,)
+            row = jnp.sum(table * onehot[:, None], axis=0)  # (num_k,)
             best = (num_k - 1) - jnp.argmin(row[::-1])
             k = k_values[best]
 
-            first = read(pos, 1)
-            pos1 = pos + 1
+            first = (win0 >> 31).astype(jnp.int32)
 
-            # in-range: phase-in over n = ctx+1
+            # --- in-range: phase-in over n = ctx+1, bits at offset 1 ---
             nn = ctx + 1
             m = 31 - jax.lax.clz(nn)
             left_p = nn - (1 << m)
             right_p = (1 << (m + 1)) - nn
-            first_m = read(pos1, 32) >> (32 - m).astype(jnp.uint32)
-            first_m = jnp.where(m > 0, first_m, 0).astype(jnp.int32)
+            first_m = window_bits(win0, win1, jnp.int32(1), m).astype(jnp.int32)
             short = first_m < right_p
-            extra = read(pos1 + m, 1).astype(jnp.int32)
+            extra = window_bits(win0, win1, 1 + m, jnp.int32(1)).astype(jnp.int32)
             number = jnp.where(
                 short, first_m, (first_m - right_p) * 2 + right_p + extra
             )
             in_value = (number + left_p) % nn + l
-            in_pos = pos1 + jnp.where(short, m, m + 1)
+            in_pos = pos + 1 + jnp.where(short, m, m + 1)
 
-            # out-of-range: marker bit + Rice
-            above_bit = read(pos1, 1)
-            uq, pos_u = read_unary(pos1 + 1)
-            rem = read(pos_u, 32) >> (32 - k).astype(jnp.uint32)
-            rem = jnp.where(k > 0, rem, 0).astype(jnp.int32)
+            # --- out-of-range: second marker bit, unary run, remainder ---
+            above_bit = (win0 >> 30) & 1
+            u_win = shl32(win0, jnp.int32(2)) | shr32(win1, jnp.int32(30))
+            inverted = (~u_win) & jnp.uint32(0xFFFFFFFF)
+            lead = jnp.where(inverted == 0, 32, jax.lax.clz(inverted)).astype(
+                jnp.int32
+            )
+            overrun = lead >= 30  # terminator or remainder may exceed window
+
+            def cont_cond(st):
+                _, _, done = st
+                return ~done
+
+            bit_limit = jnp.int32(words.shape[0] * 32)
+
+            def cont_body(st):
+                q2, p2, _ = st
+                wdw = read(p2, 32)
+                inv = (~wdw) & jnp.uint32(0xFFFFFFFF)
+                ld = jnp.where(inv == 0, 32, jax.lax.clz(inv)).astype(jnp.int32)
+                # p2 >= bit_limit: corrupt stream ran off the end — stop (the
+                # garbage value is range-checked after assembly).
+                fin = (ld < 32) | (p2 >= bit_limit)
+                return q2 + ld, p2 + ld + jnp.where(fin, 1, 0), fin
+
+            # Fallback continues from the cursor for overrun lanes; done=True
+            # for everyone else, so the loop body is skipped when no lane
+            # overruns (the overwhelmingly common case).
+            q2, p2, _ = jax.lax.while_loop(
+                cont_cond,
+                cont_body,
+                (jnp.int32(0), pos + 2, ~overrun),
+            )
+            uq = jnp.where(overrun, q2, lead)
+            pos_u = jnp.where(overrun, p2, pos + 2 + lead + 1)
+            rem_fast = window_bits(win0, win1, pos_u - pos, k).astype(jnp.int32)
+            rem_slow = (read(pos_u, 32) >> (32 - k).astype(jnp.uint32)).astype(
+                jnp.int32
+            )
+            rem = jnp.where(k > 0, jnp.where(overrun, rem_slow, rem_fast), 0)
             encoded = (uq << k) + rem
             oor_value = jnp.where(above_bit == 1, encoded + h + 1, l - encoded - 1)
             oor_pos = pos_u + k
@@ -393,7 +440,7 @@ def _decode_tiles(
             if cfg.count_scaling is not None:
                 halve = (jnp.min(new_row) > cfg.count_scaling) & is_oor
                 new_row = jnp.where(halve, new_row >> 1, new_row)
-            table = table.at[qc].set(new_row)
+            table = table + onehot[:, None] * (new_row - row)[None, :]
 
             value = jnp.where(is_pre, raw, jnp.where(is_in, in_value, oor_value))
             new_pos = jnp.where(
@@ -408,7 +455,6 @@ def _decode_tiles(
             step,
             (start_bit, table0, buf0),
             jnp.arange(c * t, dtype=jnp.int32),
-            unroll=4,
         )
         return buf
 

@@ -1,0 +1,51 @@
+"""Batched multi-image FLCT API: containers identical to per-image encode."""
+
+import numpy as np
+
+from felics_tpu.config import TileConfig
+from felics_tpu.parallel import tiling
+from felics_tpu.parallel.batch import compress_tiled_batch, decompress_tiled_batch
+
+TILE16 = TileConfig(tile_h=16, tile_w=16)
+
+
+def smooth(rng, w, h, dtype=np.uint8, channels=None):
+    shape = (h, w) if channels is None else (h, w, channels)
+    img = np.cumsum(np.cumsum(rng.integers(-6, 7, shape), 0), 1) + 128
+    return np.clip(img, 0, np.iinfo(dtype).max).astype(dtype)
+
+
+def test_batch_matches_per_image(rng):
+    images = [smooth(rng, 48, 32), smooth(rng, 16, 16), smooth(rng, 33, 40)]
+    batch = compress_tiled_batch(images, TILE16)
+    single = [tiling.compress_tiled_bytes(im, TILE16) for im in images]
+    assert batch == single
+
+
+def test_batch_round_trip(rng):
+    images = [smooth(rng, 48, 32, channels=3), smooth(rng, 32, 48, channels=3)]
+    batch = compress_tiled_batch(images, TILE16)
+    outs = decompress_tiled_batch(batch)
+    for im, out in zip(images, outs):
+        np.testing.assert_array_equal(out, im)
+
+
+def test_batch_decode_of_per_image_containers(rng):
+    images = [smooth(rng, 32, 32), smooth(rng, 64, 16)]
+    datas = [tiling.compress_tiled_bytes(im, TILE16) for im in images]
+    outs = decompress_tiled_batch(datas)
+    for im, out in zip(images, outs):
+        np.testing.assert_array_equal(out, im)
+
+
+def test_batch_small_image_fallback(rng):
+    # An image smaller than the tile clamps tile dims -> per-image fallback.
+    images = [smooth(rng, 8, 8), smooth(rng, 32, 32)]
+    batch = compress_tiled_batch(images, TILE16)
+    single = [tiling.compress_tiled_bytes(im, TILE16) for im in images]
+    assert batch == single
+
+
+def test_empty_batch():
+    assert compress_tiled_batch([]) == []
+    assert decompress_tiled_batch([]) == []

@@ -150,3 +150,17 @@ def test_compression_ratio_near_flcs(rng):
     flcs = len(compress_image_bytes(img, backend="oracle"))
     flct = len(compress_tiled_bytes(img, TileConfig(tile_h=64, tile_w=64)))
     assert flct < flcs * 1.06
+
+
+def test_long_unary_fallback():
+    """Force k=0 with a huge residual: the decoder's unary run overruns the
+    64-bit fast window and must take the fallback loop."""
+    img = np.zeros((16, 16), dtype=np.uint16)
+    # Drive bucket-0 k toward 0 with many residual-0 out-of-range pixels
+    # (alternating +1 steps), then plant a huge outlier.
+    img[0, ::2] = 1
+    img[1:, :] = 0
+    img[8, 8] = 65535
+    data = compress_tiled_bytes(img, TILE16)
+    out = decompress_tiled_bytes(data)
+    np.testing.assert_array_equal(out, img)
