@@ -88,14 +88,15 @@ def tpu_bench(images):
     except Exception:
         pass
 
-    from felics_tpu.config import CONFIG_8BIT, TileConfig
+    from felics_tpu.config import TileConfig, tiled_config_for_depth
     from felics_tpu.format import ColorType
     from felics_tpu.ops import bitpack
-    from felics_tpu.ops.kscan import _bucket
     from felics_tpu.ops.kscan_tiled import num_buckets
     from felics_tpu.parallel import tiling
 
-    cfg = CONFIG_8BIT
+    from felics_tpu.format import PixelDepth as _PD
+
+    cfg = tiled_config_for_depth(_PD.EIGHT)
     nb = num_buckets(cfg)
     th = tw = TILE
 
@@ -112,15 +113,16 @@ def tpu_bench(images):
 
     def encode_once():
         s1 = tiling._tiled_stage1(tiles, th, tw, nb)
-        (context, low, oor, residual, in_range, above, qctx, rank, max_count) = s1
-        r_pad = _bucket(max(1, int(max_count)))
+        (context, low, oor, residual, in_range, above, qctx) = s1
         flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-            tiles, context, low, oor, residual, in_range, above, qctx, rank,
-            th, tw, cfg, nb, r_pad,
+            tiles, context, low, oor, residual, in_range, above, qctx,
+            th, tw, cfg, nb,
         )
-        total = int(total_bytes)
+        n_big = bitpack.count_big_symbols(flat)
+        total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
         b_pad = bitpack.bucket_bits(total * 8)
-        packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
+        n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
+        packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
         return packed, tile_bytes, total
 
     # warm (compiles), then honest fetch-synced timing (block_until_ready is

@@ -78,6 +78,17 @@ def config_for_depth(depth: PixelDepth) -> CodingConfig:
     return CONFIG_8BIT if depth == PixelDepth.EIGHT else CONFIG_16BIT
 
 
+def tiled_config_for_depth(depth: PixelDepth) -> CodingConfig:
+    """FLCT coding parameters.
+
+    Same K range as FLCS, but NO periodic count scaling: tiles restart the
+    estimator every (tile, channel) domain, so exponential forgetting buys
+    nothing — and without halving the cumulative tables are pure prefix
+    sums, which turns the encoder's adaptive-k pass into dense cumsums with
+    no sequential scan at all (felics_tpu.ops.kscan_tiled)."""
+    return replace(config_for_depth(depth), count_scaling=None)
+
+
 @dataclass(frozen=True)
 class TileConfig:
     """Geometry + estimator knobs for the tiled (FLCT) mode.

@@ -94,9 +94,13 @@ def encode_payload(
     ]
     symbols = _concat_symbols(parts) if len(parts) > 1 else parts[0]
     offsets, total = bitpack.symbol_offsets(symbols)
-    total_bits = int(total)
+    n_big = bitpack.count_big_symbols(symbols)
+    total_bits, n_big = (int(x) for x in jax.device_get((total, n_big)))
     b_pad = bitpack.bucket_bits(total_bits)
-    packed = bitpack.pack_bits_scatter(symbols, offsets, b_pad)
+    from felics_tpu.parallel.tiling import _bucket_count
+
+    n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
+    packed = bitpack.pack_bits_scatter(symbols, offsets, b_pad, n_big_pad)
     total_bytes = (total_bits + 7) // 8
     return bytes(np.asarray(packed[:total_bytes]).tobytes())
 

@@ -138,21 +138,40 @@ def pack_bits(
     return shifted.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("b_pad",))
-def pack_bits_scatter(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp.ndarray:
+@jax.jit
+def count_big_symbols(symbols: Symbols) -> jnp.ndarray:
+    """Number of symbols whose codeword exceeds 32 bits (preambles + long
+    unary runs). Host-synced alongside the total so pack_bits_scatter can
+    compact the slow path to a tiny array."""
+    total_len = symbols.a_len + symbols.q + symbols.b_len
+    return jnp.sum((total_len > 32).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("b_pad", "n_big_pad"))
+def pack_bits_scatter(
+    symbols: Symbols, offsets: jnp.ndarray, b_pad: int, n_big_pad: int = 0
+) -> jnp.ndarray:
     """Scatter-add variant of the packer (same output as pack_bits).
 
     Fast path: symbols whose whole codeword fits 32 bits (the vast majority —
     marker + phase-in or marker + short Rice) compose a|ones|b into ONE
-    32-bit part arithmetically and scatter-add just the ≤ 2 straddled words.
-    Slow path (raw preambles, long unary runs): per-part scatters plus a
-    word-interval diff + cumsum for run interiors. Bit-disjoint contributions
-    make integer add == bitwise or throughout.
+    32-bit part arithmetically and scatter-add just the ≤ 2 straddled words
+    — the only two full-size scatters in the pipeline.
+
+    Slow path (raw preambles, long unary runs — ~2 per tile-channel plus
+    rare outliers): the oversized symbols are COMPACTED to an
+    ``n_big_pad``-sized array first (static, host-synced via
+    count_big_symbols; pass 0 to keep the uncompacted N-wide slow path),
+    then per-part scatters plus a word-interval diff + cumsum for run
+    interiors run on that tiny array. XLA TPU scatters cost per op element
+    regardless of masked-off writes, so compaction is ~5x on real images.
+    Bit-disjoint contributions make integer add == bitwise or throughout.
     """
     assert b_pad % 32 == 0
     num_words = b_pad // 32
     acc = jnp.zeros((num_words,), jnp.uint32)
 
+    n = offsets.shape[0]
     total_len = symbols.a_len + symbols.q + symbols.b_len
     small = total_len <= 32
 
@@ -180,15 +199,30 @@ def pack_bits_scatter(symbols: Symbols, offsets: jnp.ndarray, b_pad: int) -> jnp
     )
     acc = add_part(acc, merged, total_len, offsets, small)
 
-    # Slow path: per-part scatters for oversized symbols.
-    big = ~small
-    acc = add_part(acc, symbols.a_val, symbols.a_len, offsets, big)
-    b_start = offsets + symbols.a_len + symbols.q
-    acc = add_part(acc, symbols.b_val, symbols.b_len, b_start, big)
+    # Slow path on (compacted) oversized symbols.
+    if n_big_pad > 0:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        order = jnp.argsort(jnp.where(small, jnp.int32(0x7FFFFFFF), idx))
+        sel = order[:n_big_pad]
+        s_a_val = symbols.a_val[sel]
+        s_a_len = symbols.a_len[sel]
+        s_q = symbols.q[sel]
+        s_b_val = symbols.b_val[sel]
+        s_b_len = symbols.b_len[sel]
+        s_off = offsets[sel]
+        s_big = ~small[sel]
+    else:
+        s_a_val, s_a_len, s_q = symbols.a_val, symbols.a_len, symbols.q
+        s_b_val, s_b_len, s_off = symbols.b_val, symbols.b_len, offsets
+        s_big = ~small
 
-    rs = offsets + symbols.a_len
-    re = rs + symbols.q
-    has = (symbols.q > 0) & big
+    acc = add_part(acc, s_a_val, s_a_len, s_off, s_big)
+    b_start = s_off + s_a_len + s_q
+    acc = add_part(acc, s_b_val, s_b_len, b_start, s_big)
+
+    rs = s_off + s_a_len
+    re = rs + s_q
+    has = (s_q > 0) & s_big
     head_w = rs >> 5
     head_start = rs & 31
     head_cap = jnp.minimum(re - (head_w << 5), 32)

@@ -19,10 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from felics_tpu.config import TileConfig, config_for_depth
+from felics_tpu.config import TileConfig, tiled_config_for_depth
 from felics_tpu.format import ColorType, PixelDepth
 from felics_tpu.ops import bitpack
-from felics_tpu.ops.kscan import _bucket
 from felics_tpu.ops.kscan_tiled import num_buckets
 from felics_tpu.parallel import tiling
 
@@ -45,7 +44,7 @@ def compress_tiled_batch(
         # Mixed clamping would break tile uniformity; fall back per-image.
         return [tiling.compress_tiled_bytes(im, tile) for im in images]
 
-    cfg = config_for_depth(depth)
+    cfg = tiled_config_for_depth(depth)
     nb = num_buckets(cfg)
 
     parts = [
@@ -54,17 +53,18 @@ def compress_tiled_batch(
     counts = [p[0].shape[0] for p in parts]
     tiles = jnp.asarray(np.concatenate([p[0] for p in parts]))
 
-    (context, low, oor, residual, in_range, above, qctx, rank, max_count) = (
+    (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )
-    r_pad = _bucket(max(1, int(max_count)))
     flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, rank,
-        th, tw, cfg, nb, r_pad,
+        tiles, context, low, oor, residual, in_range, above, qctx,
+        th, tw, cfg, nb,
     )
-    total = int(total_bytes)
+    n_big = bitpack.count_big_symbols(flat)
+    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
     b_pad = bitpack.bucket_bits(total * 8)
-    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
+    n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
     lengths = np.asarray(tile_bytes)
     payload = np.asarray(packed[:total]).tobytes()
@@ -97,7 +97,7 @@ def decompress_tiled_batch(datas: Sequence[bytes]) -> List[np.ndarray]:
     ) or any(h.n_tiles == 0 for h in headers):
         return [tiling.decompress_tiled_bytes(d) for d in datas]
 
-    cfg = config_for_depth(h0.pixel_depth)
+    cfg = tiled_config_for_depth(h0.pixel_depth)
     nb = num_buckets(cfg)
     th, tw, c = h0.tile_h, h0.tile_w, h0.num_channels
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from felics_tpu.config import CodingConfig, TileConfig, config_for_depth
+from felics_tpu.config import CodingConfig, TileConfig, tiled_config_for_depth
 from felics_tpu.format import ColorType
 from felics_tpu.ops import bitpack
 from felics_tpu.ops.kscan_tiled import num_buckets
@@ -44,7 +44,7 @@ def make_tile_mesh(devices=None, axis: str = "tiles") -> Mesh:
 
 @partial(
     jax.jit,
-    static_argnames=("th", "tw", "cfg", "nb", "r_pad", "b_pad"),
+    static_argnames=("th", "tw", "cfg", "nb", "b_pad"),
 )
 def fused_encode_step(
     tiles: jnp.ndarray,
@@ -52,7 +52,6 @@ def fused_encode_step(
     tw: int,
     cfg: CodingConfig,
     nb: int,
-    r_pad: int,
     b_pad: int,
 ):
     """Full FLCT encode as one XLA program: tiles (n_tiles, C, T) int32 →
@@ -62,12 +61,12 @@ def fused_encode_step(
     safe); ``b_pad`` bounds total payload bits (caller must guarantee it —
     the dynamic path in tiling.py sizes it exactly).
     """
-    (context, low, oor, residual, in_range, above, qctx, rank, _mc) = (
+    (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )
     flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, rank,
-        th, tw, cfg, nb, r_pad,
+        tiles, context, low, oor, residual, in_range, above, qctx,
+        th, tw, cfg, nb,
     )
     packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
     return packed, tile_bytes, total_bytes
@@ -106,7 +105,7 @@ def encode_tiled_sharded(
     if h == 0 or w == 0:
         return tiling.compress_tiled_bytes(image, tile)
     th, tw = tiling._clamped_tile_dims(h, w, tile)
-    cfg = config_for_depth(base.pixel_depth)
+    cfg = tiled_config_for_depth(base.pixel_depth)
     nb = num_buckets(cfg)
 
     tiles_np, ty, tx = tiling._prepare_tiles(image, base.color_type, th, tw)
@@ -121,19 +120,18 @@ def encode_tiled_sharded(
     sharding = NamedSharding(mesh, P(axis, None, None))
     tiles = jax.device_put(jnp.asarray(tiles_np), sharding)
 
-    (context, low, oor, residual, in_range, above, qctx, rank, max_count) = (
+    (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )
-    from felics_tpu.ops.kscan import _bucket
-
-    r_pad = _bucket(max(1, int(max_count)))
     flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, rank,
-        th, tw, cfg, nb, r_pad,
+        tiles, context, low, oor, residual, in_range, above, qctx,
+        th, tw, cfg, nb,
     )
-    total = int(total_bytes)
+    n_big = bitpack.count_big_symbols(flat)
+    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
     b_pad = bitpack.bucket_bits(total * 8)
-    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
+    n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
     tile_bytes_np = np.asarray(tile_bytes)[:n_tiles]
     payload_len = int(tile_bytes_np.sum())
@@ -162,7 +160,7 @@ def decode_tiled_sharded(data: bytes, mesh: Mesh, axis: str = "tiles") -> np.nda
     # Reuse the single-device implementation but with sharded inputs.
     import felics_tpu.parallel.tiling as t
 
-    cfg = config_for_depth(header.pixel_depth)
+    cfg = tiled_config_for_depth(header.pixel_depth)
     nb = num_buckets(cfg)
     h, w = header.height, header.width
     th, tw = header.tile_h, header.tile_w

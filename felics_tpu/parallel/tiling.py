@@ -41,14 +41,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from felics_tpu import errors
-from felics_tpu.config import CodingConfig, TileConfig, config_for_depth
+from felics_tpu.config import (
+    CodingConfig,
+    TileConfig,
+    config_for_depth,
+    tiled_config_for_depth,
+)
 from felics_tpu.core.color import rgb_to_ycocg, ycocg_to_rgb
 from felics_tpu.core.context import neighbour_indices
 from felics_tpu.format import ColorType, PixelDepth
 from felics_tpu.ops import bitpack
 from felics_tpu.ops.analysis import phase_in_code
-from felics_tpu.ops.kscan import _bucket
-from felics_tpu.ops.kscan_tiled import kscan_tiled, num_buckets, qctx_of, rank_and_count
+from felics_tpu.ops.kscan_tiled import kscan_tiled, num_buckets, qctx_of
+
+
+def _bucket_count(value: int, minimum: int = 64) -> int:
+    """Bucket a compaction count to bound jit recompilation."""
+    if value <= minimum:
+        return minimum
+    gran = max(minimum, 1 << max(0, value.bit_length() - 2))
+    return -(-value // gran) * gran
 
 MAGIC_TILED = b"FLCT"
 _FIXED_HEADER = struct.Struct(">4sBBIIHHHI")  # 24 bytes
@@ -142,19 +154,13 @@ def _tiled_stage1(tiles, th: int, tw: int, nb: int):
     )
 
     qctx = qctx_of(context)
-    nt, c, _ = tiles.shape
-    rank, counts = rank_and_count(
-        qctx.reshape(nt * c, t), oor.reshape(nt * c, t), nb
-    )
-    max_count = jnp.max(counts)
-    return (context, low, oor, residual, in_range, above, qctx,
-            rank.reshape(nt, c, t), max_count)
+    return (context, low, oor, residual, in_range, above, qctx)
 
 
-@partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb", "r_pad"))
+@partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb"))
 def _tiled_stage2(
-    tiles, context, low, oor, residual, in_range, above, qctx, rank,
-    th: int, tw: int, cfg: CodingConfig, nb: int, r_pad: int,
+    tiles, context, low, oor, residual, in_range, above, qctx,
+    th: int, tw: int, cfg: CodingConfig, nb: int,
 ):
     """Symbols + per-tile/global offsets. Returns flat symbols, flat offsets,
     per-tile byte lengths, total payload bytes."""
@@ -163,10 +169,8 @@ def _tiled_stage2(
         qctx.reshape(nt * c, t),
         oor.reshape(nt * c, t),
         residual.reshape(nt * c, t),
-        rank.reshape(nt * c, t),
         cfg,
         nb,
-        r_pad,
     ).reshape(nt, c, t)
 
     # --- symbolize (same codeword layout as ops.analysis.symbolize) ---
@@ -249,23 +253,24 @@ def compress_tiled_bytes(
         )
         return header
     th, tw = _clamped_tile_dims(h, w, tile)
-    cfg = config_for_depth(base.pixel_depth)
+    cfg = tiled_config_for_depth(base.pixel_depth)
     nb = num_buckets(cfg)
 
     tiles_np, ty, tx = _prepare_tiles(image, base.color_type, th, tw)
     tiles = jnp.asarray(tiles_np)
 
-    (context, low, oor, residual, in_range, above, qctx, rank, max_count) = (
+    (context, low, oor, residual, in_range, above, qctx) = (
         _tiled_stage1(tiles, th, tw, nb)
     )
-    r_pad = _bucket(max(1, int(max_count)))
     flat, offsets, tile_bytes, total_bytes = _tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, rank,
-        th, tw, cfg, nb, r_pad,
+        tiles, context, low, oor, residual, in_range, above, qctx,
+        th, tw, cfg, nb,
     )
-    total = int(total_bytes)
+    n_big = bitpack.count_big_symbols(flat)
+    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
     b_pad = bitpack.bucket_bits(total * 8)
-    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
+    n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
     n_tiles = ty * tx
     header = _FIXED_HEADER.pack(
@@ -485,7 +490,7 @@ def _assemble_image(
 
 def decompress_tiled_bytes(data: bytes) -> np.ndarray:
     header = read_tiled_header(data)
-    cfg = config_for_depth(header.pixel_depth)
+    cfg = tiled_config_for_depth(header.pixel_depth)
     nb = num_buckets(cfg)
     h, w = header.height, header.width
     if h == 0 or w == 0:

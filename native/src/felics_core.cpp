@@ -646,6 +646,11 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
   const uint32_t tx_n = width ? (width + tw - 1) / tw : 0;
   const uint32_t n_tiles = (width && height) ? ty_n * tx_n : 0;
 
+  // FLCT: bucketed-k estimator, no periodic count scaling (see the format
+  // spec in felics_tpu/parallel/tiling.py).
+  CodingParams tiled_params = params;
+  tiled_params.halve_at = 0;
+
   std::vector<std::vector<uint8_t>> streams(n_tiles);
   run_on_pool(n_threads, n_tiles, [&](size_t t) {
     const uint32_t tyi = static_cast<uint32_t>(t) / tx_n;
@@ -655,7 +660,8 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
     for (int c = 0; c < nchan; ++c) {
       tile_plane(pixels, width, height, nchan, c, tyi, txi, th, tw,
                  plane.data());
-      compress_channel(plane.data(), tw, th, params, sink, /*bucketed_k=*/true);
+      compress_channel(plane.data(), tw, th, tiled_params, sink,
+                       /*bucketed_k=*/true);
     }
     sink.byte_align();
   });
@@ -736,6 +742,8 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
     return FEL_EIO;
   }
 
+  CodingParams tiled_params = params;
+  tiled_params.halve_at = 0;
   const int32_t lo = 0;
   const int32_t hi = depth == kDepth8 ? 255 : 65535;
   std::vector<int> statuses(n_tiles, FEL_OK);
@@ -746,7 +754,8 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
     const size_t tsz = static_cast<size_t>(th) * tw;
     std::vector<int32_t> planes(tsz * nchan);
     for (int c = 0; c < nchan; ++c) {
-      int st = decompress_channel(tw, th, params, src, planes.data() + c * tsz,
+      int st = decompress_channel(tw, th, tiled_params, src,
+                                  planes.data() + c * tsz,
                                   /*bucketed_k=*/true);
       if (st != FEL_OK) {
         statuses[t] = st;

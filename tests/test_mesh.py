@@ -53,19 +53,19 @@ def test_sharded_decode_matches(rng):
 
 
 def test_fused_encode_step_matches_dynamic(rng):
-    from felics_tpu.config import CONFIG_8BIT
-    from felics_tpu.format import ColorType
+    from felics_tpu.config import tiled_config_for_depth
+    from felics_tpu.format import ColorType, PixelDepth
     from felics_tpu.ops.kscan_tiled import num_buckets
 
     img = smooth_image(rng, 32, 32)
     th = tw = 16
     tiles, ty, tx = tiling._prepare_tiles(img, ColorType.GRAY, th, tw)
-    cfg = CONFIG_8BIT
+    cfg = tiled_config_for_depth(PixelDepth.EIGHT)
     nb = num_buckets(cfg)
     n_tiles, c, t = tiles.shape
     b_pad = worst_case_payload_bits(n_tiles, c, t, cfg)
     packed, tile_bytes, total = fused_encode_step(
-        jax.numpy.asarray(tiles), th, tw, cfg, nb, t, b_pad
+        jax.numpy.asarray(tiles), th, tw, cfg, nb, b_pad
     )
     reference = tiling.compress_tiled_bytes(img, TILE16)
     hdr = tiling.read_tiled_header(reference)

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from felics_tpu.coding.bitio import BitReader
-from felics_tpu.config import TileConfig, config_for_depth
+from felics_tpu.config import TileConfig, tiled_config_for_depth
 from felics_tpu.core import oracle
 from felics_tpu.core.color import ycocg_to_rgb
 from felics_tpu.format import ColorType, PixelDepth
@@ -92,7 +92,7 @@ def test_scalar_cross_validation(rng, dtype):
     img = smooth_image(rng, 35, 21, dtype, channels=3)
     data = compress_tiled_bytes(img, TILE16)
     hdr = read_tiled_header(data)
-    cfg = config_for_depth(hdr.pixel_depth)
+    cfg = tiled_config_for_depth(hdr.pixel_depth)
     th, tw = hdr.tile_h, hdr.tile_w
     ty = -(-hdr.height // th)
     tx = -(-hdr.width // tw)
