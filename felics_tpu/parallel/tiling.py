@@ -324,6 +324,10 @@ def _decode_tiles(
     a_idx, b_idx = neighbour_indices(th, tw, xp=jnp)
     bucket_ids = jnp.arange(nb, dtype=jnp.int32)
     read = _read_bits_fn(words)
+    # Consecutive word triples, so the whole 96-bit cursor window is ONE
+    # gather per step (dependent-gather latency dominates decode).
+    wpad = jnp.concatenate([words, jnp.zeros((2,), jnp.uint32)])
+    words3 = jnp.stack([wpad[:-2], wpad[1:-1], wpad[2:]], axis=1)
 
     def shr32(v, s):
         s = s.astype(jnp.uint32)
@@ -349,13 +353,12 @@ def _decode_tiles(
             # per-(tile, channel) domains and FLCS's per-channel estimator).
             table = table * jnp.where(j == 0, 0, 1)
 
-            # Aligned 64-bit window at the cursor: 3 word gathers total.
+            # Aligned 64-bit window at the cursor: ONE triple-word gather.
             wi = pos >> 5
             off = (pos & 31).astype(jnp.uint32)
             last = words.shape[0] - 1
-            w_a = words[jnp.minimum(wi, last)]
-            w_b = words[jnp.minimum(wi + 1, last)]
-            w_c = words[jnp.minimum(wi + 2, last)]
+            tri = words3[jnp.minimum(wi, last)]
+            w_a, w_b, w_c = tri[0], tri[1], tri[2]
             carry = jnp.where(off > 0, w_b >> (jnp.uint32(32) - off), jnp.uint32(0))
             win0 = (w_a << off) | carry
             carry2 = jnp.where(off > 0, w_c >> (jnp.uint32(32) - off), jnp.uint32(0))
@@ -401,36 +404,43 @@ def _decode_tiles(
             )
             overrun = lead >= 30  # terminator or remainder may exceed window
 
-            def cont_cond(st):
-                _, _, done = st
-                return ~done
-
             bit_limit = jnp.int32(words.shape[0] * 32)
 
+            def cont_cond(st):
+                return ~st[3]
+
             def cont_body(st):
-                q2, p2, _ = st
+                q2, p2, rem2, done = st
                 wdw = read(p2, 32)
                 inv = (~wdw) & jnp.uint32(0xFFFFFFFF)
                 ld = jnp.where(inv == 0, 32, jax.lax.clz(inv)).astype(jnp.int32)
+                ld = jnp.where(done, 0, ld)  # finished lanes stay put
                 # p2 >= bit_limit: corrupt stream ran off the end — stop (the
-                # garbage value is range-checked after assembly).
-                fin = (ld < 32) | (p2 >= bit_limit)
-                return q2 + ld, p2 + ld + jnp.where(fin, 1, 0), fin
+                # garbage value is range-checked after assembly). ``done`` is
+                # sticky so already-finished lanes cannot re-arm the loop.
+                fin = done | (ld < 32) | (p2 >= bit_limit)
+                # On termination also fetch the Rice remainder at the far
+                # cursor (only overrun lanes ever reach here).
+                rem2 = jnp.where(
+                    fin & ~done,
+                    (read(p2 + ld + 1, 32) >> (32 - k).astype(jnp.uint32)).astype(
+                        jnp.int32
+                    ),
+                    rem2,
+                )
+                return q2 + ld, p2 + ld + jnp.where(fin & ~done, 1, 0), rem2, fin
 
             # Fallback continues from the cursor for overrun lanes; done=True
             # for everyone else, so the loop body is skipped when no lane
             # overruns (the overwhelmingly common case).
-            q2, p2, _ = jax.lax.while_loop(
+            q2, p2, rem_slow, _ = jax.lax.while_loop(
                 cont_cond,
                 cont_body,
-                (jnp.int32(0), pos + 2, ~overrun),
+                (jnp.int32(0), pos + 2, jnp.int32(0), ~overrun),
             )
             uq = jnp.where(overrun, q2, lead)
             pos_u = jnp.where(overrun, p2, pos + 2 + lead + 1)
             rem_fast = window_bits(win0, win1, pos_u - pos, k).astype(jnp.int32)
-            rem_slow = (read(pos_u, 32) >> (32 - k).astype(jnp.uint32)).astype(
-                jnp.int32
-            )
             rem = jnp.where(k > 0, jnp.where(overrun, rem_slow, rem_fast), 0)
             encoded = (uq << k) + rem
             oor_value = jnp.where(above_bit == 1, encoded + h + 1, l - encoded - 1)
