@@ -40,6 +40,7 @@ from felics_tpu.api import (
     decompress_image,
     compress_image_bytes,
     decompress_image_bytes,
+    probe,
 )
 
 __all__ = [
@@ -58,4 +59,5 @@ __all__ = [
     "decompress_image",
     "compress_image_bytes",
     "decompress_image_bytes",
+    "probe",
 ]

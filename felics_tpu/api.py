@@ -189,6 +189,38 @@ def decompress_image_bytes(data: bytes, backend: str = "auto") -> np.ndarray:
     return rgb.reshape(h, w, 3)
 
 
+def probe(data: bytes) -> dict:
+    """Container-agnostic header-only metadata read (no payload decode).
+
+    Reference counterpart: read_header used standalone
+    (src/compression/traits.rs:57-64, DOC.md capability list). Extends it to
+    the FLCT container: returns tile geometry and stream count when tiled.
+    """
+    if data[:4] == b"FLCT":
+        from felics_tpu.parallel.tiling import read_tiled_header
+
+        h = read_tiled_header(data)
+        return {
+            "container": "flct",
+            "color_type": h.color_type.name.lower(),
+            "pixel_depth": h.pixel_depth.bits,
+            "width": h.width,
+            "height": h.height,
+            "tile_w": h.tile_w,
+            "tile_h": h.tile_h,
+            "n_tiles": h.n_tiles,
+            "payload_bytes": int(h.tile_lengths.sum()),
+        }
+    h = read_header(io.BytesIO(data))
+    return {
+        "container": "flcs",
+        "color_type": h.color_type.name.lower(),
+        "pixel_depth": h.pixel_depth.bits,
+        "width": h.width,
+        "height": h.height,
+    }
+
+
 def _check_i32(arr: np.ndarray) -> None:
     if arr.size and (arr.min() < -(2**31) or arr.max() > 2**31 - 1):
         raise errors.ValueOverflow("channel value overflows i32")

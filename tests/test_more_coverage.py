@@ -99,3 +99,20 @@ def test_bfelics_smoke(tmp_path, rng):
     assert rc == 0
     out_fels = list((tmp_path / "out" / "to_felics").glob("*.fel"))
     assert len(out_fels) == 3
+
+
+def test_probe_both_containers(rng):
+    import felics_tpu
+
+    img = smooth(rng, 24, 18, np.uint16, 3)
+    flcs = compress_image_bytes(img, backend="native")
+    info = felics_tpu.probe(flcs)
+    assert info == {
+        "container": "flcs", "color_type": "rgb", "pixel_depth": 16,
+        "width": 24, "height": 18,
+    }
+    flct = compress_image_bytes(img, container="flct", tile=TileConfig(16, 16))
+    info = felics_tpu.probe(flct)
+    assert info["container"] == "flct"
+    assert (info["width"], info["height"], info["n_tiles"]) == (24, 18, 4)
+    assert info["payload_bytes"] == len(flct) - 24 - 4 * 4
