@@ -75,6 +75,27 @@ def bench_external(files, src, out_dir, tool, make_cmd):
     return time.time() - start, _dir_bytes(out_dir)
 
 
+def bench_felics_decompress(out_dir, backend):
+    from felics_tpu.api import decompress_image_bytes
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".fel")]
+    start = time.time()
+    for name in files:
+        with open(os.path.join(out_dir, name), "rb") as f:
+            decompress_image_bytes(f.read(), backend=backend)
+    return time.time() - start
+
+
+def bench_png_decompress(out_dir):
+    from felics_tpu.io.images import load_image
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    start = time.time()
+    for name in files:
+        load_image(os.path.join(out_dir, name))
+    return time.time() - start
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="bfelics", description="Cross-format corpus benchmark"
@@ -112,13 +133,24 @@ def main(argv=None) -> int:
     if webp:
         results[".webp"] = webp
 
+    # Decompression pass (reference: plot_decompression_metrics,
+    # bench/benchmark-small-corpus.py:104-123).
+    dec_times = {
+        ".fel": bench_felics_decompress(
+            os.path.join(args.out, "to_felics"), args.backend
+        ),
+        ".png": bench_png_decompress(os.path.join(args.out, "to_png")),
+    }
+
     raw = sum(
         os.path.getsize(os.path.join(args.corpus, f)) for f in files
     )
     print(f"\nRaw corpus size: {raw / 1e6:.1f} MB")
     for fmt, (t, size) in results.items():
+        dec = f"  dec {dec_times[fmt]:6.2f}s" if fmt in dec_times else ""
         print(
-            f"{fmt:>6}: {t:7.2f}s  {size / 1e6:8.2f} MB  ratio {raw / size:5.2f}"
+            f"{fmt:>6}: enc {t:7.2f}s  {size / 1e6:8.2f} MB  "
+            f"ratio {raw / size:5.2f}{dec}"
         )
 
     if args.plot:
