@@ -99,6 +99,7 @@ def tpu_bench(images):
     cfg = tiled_config_for_depth(_PD.EIGHT)
     nb = num_buckets(cfg)
     th = tw = TILE
+    from felics_tpu.ops import pallas_codec as pc
 
     # One big tile batch across all images (amortizes dispatch + syncs).
     tile_batches = [
@@ -112,19 +113,22 @@ def tpu_bench(images):
 
     rtt = fetch_rtt()
 
-    def encode_once(tiles):
-        s1 = tiling._tiled_stage1(tiles, th, tw, nb)
-        (context, low, oor, residual, in_range, above, qctx) = s1
-        flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-            tiles, context, low, oor, residual, in_range, above, qctx,
-            th, tw, cfg, nb,
+    # Container-level warm pass: full bytes round-trip through the fused
+    # Pallas engine (also records the self-tuned stream-width hint).
+    tc = TileConfig(tile_h=th, tile_w=tw)
+    blob0 = tiling.compress_tiled_bytes(images[0], tc, engine="pallas")
+    assert np.array_equal(
+        tiling.decompress_tiled_bytes(blob0, engine="pallas"), images[0]
+    ), "pallas container round-trip mismatch"
+    W = pc.width_hint(cfg, t, c)
+
+    jmod, row_a, row_b = pc._meta_arrays(th, tw, c)
+    jm, ra, rb = jnp.asarray(jmod), jnp.asarray(row_a), jnp.asarray(row_b)
+
+    def encode_once(tiles_ls):
+        return pc._encode_tiles_pallas(
+            tiles_ls, jm, ra, rb, t, c, W, cfg, False
         )
-        n_big = bitpack.count_big_symbols(flat)
-        total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
-        b_pad = bitpack.bucket_bits(total * 8)
-        n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
-        packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
-        return packed, tile_bytes, total
 
     # The tunneled platform can serve repeated identical executions from a
     # cache, so every timed iteration uses a distinct input (one pixel
@@ -134,58 +138,54 @@ def tpu_bench(images):
     for i in range(iters + 1):
         v = tiles_np.copy()
         v[0, 0, 2] = (v[0, 0, 2] + i) % 255
-        variants.append(jnp.asarray(v))
-    packed, tile_bytes, total = encode_once(variants[0])  # warm/compile
-    _sync(packed)
+        variants.append(jnp.asarray(v.reshape(n_tiles, c * t)))
+    words, bits = encode_once(variants[0])  # warm/compile
+    _sync(bits)
     t0 = time.perf_counter()
     enc_results = []
     for i in range(1, iters + 1):
         r = encode_once(variants[i])
-        _sync(r[0])
+        _sync(r[1])
         enc_results.append(r)
     t_enc = max(1e-9, (time.perf_counter() - t0) / iters - rtt)
-    packed, tile_bytes, total = enc_results[-1]
+    words, bits = enc_results[-1]
 
-    def words_of(packed, total):
-        payload = np.asarray(packed)[:total]
-        pad = (-len(payload)) % 4
-        arr = (
-            np.concatenate([payload, np.zeros(pad, np.uint8)]) if pad else payload
-        )
-        w32 = arr.reshape(-1, 4).astype(np.uint32)
-        return jnp.asarray(
-            (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
-        )
+    bits_np = np.asarray(bits).astype(np.int64)
+    assert int(bits_np.max()) <= W * 32, "width hint overflow"
+    lens = (bits_np + 7) // 8
+    total = int(lens.sum())
 
-    def starts_of(tile_bytes):
-        lengths = np.asarray(tile_bytes)
-        return jnp.asarray(
-            (np.concatenate([[0], np.cumsum(lengths)[:-1]]) * 8).astype(np.int32)
-        )
+    # Decode inputs: per-tile word columns (as the container decoder builds
+    # from the payload; here taken from the encoder output, tails zeroed).
+    def cols_of(words, bits):
+        wn = np.asarray(words)
+        bn = np.asarray(bits).astype(np.int64)
+        wd = pc.bucket_words(int((bn.max() + 31) // 32))
+        nw = np.minimum((bn + 31) // 32, wd)
+        keep = np.arange(wd, dtype=np.int64)[None, :] < nw[:, None]
+        cols = np.where(keep, wn[:, :wd], 0).astype(np.uint32)
+        # zero any partial-word tail bits beyond ceil(bits/8) bytes? they are
+        # already zero: the encoder flushes zero-padded partial words.
+        return jnp.asarray(cols)
 
-    dec_inputs = [
-        (words_of(p, tt), starts_of(tb)) for (p, tb, tt) in enc_results
-    ]
-    # Distinct word buffers may have distinct (bucketized) lengths; pad to a
-    # common bucket so decode reuses one executable.
-    max_words = max(w.shape[0] for w, _ in dec_inputs)
-    dec_inputs = [
-        (jnp.pad(w, (0, max_words - w.shape[0])), s) for w, s in dec_inputs
-    ]
+    dec_inputs = [cols_of(wd_, b_) for (wd_, b_) in enc_results]
 
-    bufs = tiling._decode_tiles(dec_inputs[0][0], dec_inputs[0][1], th, tw, c, cfg, nb)
+    def decode_once(cols):
+        return pc._decode_tiles_pallas(cols, jm, ra, rb, t, c, cfg, False)
+
+    bufs = decode_once(dec_inputs[0])
     _sync(bufs)  # warm/compile
     t0 = time.perf_counter()
-    for w, s in dec_inputs:
-        bufs = tiling._decode_tiles(w, s, th, tw, c, cfg, nb)
+    for cols in dec_inputs:
+        bufs = decode_once(cols)
         _sync(bufs)
     t_dec = max(1e-9, (time.perf_counter() - t0) / len(dec_inputs) - rtt)
 
     # Correctness: decoded tiles match the (last variant) input exactly.
     decoded = np.asarray(bufs).reshape(tiles_np.shape)
-    assert np.array_equal(decoded, np.asarray(variants[-1])), (
-        "tiled round-trip mismatch"
-    )
+    assert np.array_equal(
+        decoded, np.asarray(variants[-1]).reshape(tiles_np.shape)
+    ), "tiled round-trip mismatch"
 
     ratio = pixels / total
     mpxs = 2 * pixels / (t_enc + t_dec) / 1e6

@@ -236,10 +236,44 @@ def _prepare_tiles(image: np.ndarray, color: ColorType, th: int, tw: int):
     return tiles, ty, tx
 
 
+def _columns_to_payload(words_lw: np.ndarray, lens_bytes: np.ndarray) -> bytes:
+    """Compact per-tile big-endian word rows into the concatenated payload."""
+    L, W = words_lw.shape
+    rows = np.ascontiguousarray(words_lw.astype(">u4")).view(np.uint8)
+    rows = rows.reshape(L, W * 4)
+    mask = np.arange(W * 4, dtype=np.int64)[None, :] < lens_bytes[:, None]
+    return rows[mask].tobytes()
+
+
+def _payload_to_columns(
+    payload: bytes, starts: np.ndarray, lens_bytes: np.ndarray, wd: int
+) -> np.ndarray:
+    """Expand the concatenated payload back into (L, wd) uint32 word rows,
+    zero-padded past each tile's byte length."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    buf = np.concatenate([buf, np.zeros(wd * 4, np.uint8)])
+    idx = starts[:, None] + np.arange(wd * 4, dtype=np.int64)[None, :]
+    within = np.arange(wd * 4, dtype=np.int64)[None, :] < lens_bytes[:, None]
+    b = np.where(within, buf[np.minimum(idx, len(buf) - 1)], 0)
+    return np.ascontiguousarray(b).view(">u4").astype(np.uint32)
+
+
+def _resolve_engine(engine: str) -> str:
+    if engine == "auto":
+        from felics_tpu.ops import pallas_codec
+
+        return "pallas" if pallas_codec.on_tpu() else "xla"
+    return engine
+
+
 def compress_tiled_bytes(
     image: np.ndarray,
     tile: Optional[TileConfig] = None,
+    engine: str = "auto",
 ) -> bytes:
+    """Engine "pallas" runs the fused Mosaic kernels (ops.pallas_codec);
+    "xla" runs the dense stage1/stage2/bitpack pipeline. Output bytes are
+    identical; "auto" picks pallas on TPU."""
     from felics_tpu.api import header_for_array
 
     base = header_for_array(image)  # validates dtype/shape
@@ -257,6 +291,37 @@ def compress_tiled_bytes(
     nb = num_buckets(cfg)
 
     tiles_np, ty, tx = _prepare_tiles(image, base.color_type, th, tw)
+
+    nt, c, t = tiles_np.shape
+    from felics_tpu.ops import pallas_codec
+
+    wcap = pallas_codec.encode_width_bound(cfg, t, c)
+    if _resolve_engine(engine) == "pallas" and pallas_codec.fits_vmem(
+        c * t, min(wcap, pallas_codec.width_hint(cfg, t, c))
+    ):
+        # Tight self-tuned capacity first; retry at the pessimistic bound on
+        # overflow (detected exactly: the kernel reports true bit lengths).
+        for wtry in dict.fromkeys(
+            [pallas_codec.width_hint(cfg, t, c), wcap]
+        ):
+            if not pallas_codec.fits_vmem(c * t, wtry):
+                break
+            words, bits = pallas_codec.encode_tiles(tiles_np, cfg, th, tw, wtry)
+            bits_np = np.asarray(bits).astype(np.int64)
+            max_bits = int(bits_np.max())
+            if max_bits > wtry * 32:
+                continue
+            pallas_codec.observe_width(cfg, t, c, max_bits)
+            tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
+            payload_b = _columns_to_payload(np.asarray(words), tile_bytes_np)
+            header = _FIXED_HEADER.pack(
+                MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
+                w, h, tw, th, 0, ty * tx,
+            )
+            table = tile_bytes_np.astype(">u4").tobytes()
+            return header + table + payload_b
+        # pathological stream exceeded the fast-path word budget: fall back
+
     tiles = jnp.asarray(tiles_np)
 
     (context, low, oor, residual, in_range, above, qctx) = (
@@ -499,7 +564,7 @@ def _assemble_image(
     return out.astype(dtype), valid
 
 
-def decompress_tiled_bytes(data: bytes) -> np.ndarray:
+def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     header = read_tiled_header(data)
     cfg = tiled_config_for_depth(header.pixel_depth)
     nb = num_buckets(cfg)
@@ -522,18 +587,29 @@ def decompress_tiled_bytes(data: bytes) -> np.ndarray:
     if len(payload) < expected:
         raise errors.IoError("truncated FLCT payload")
 
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    pad = (-len(arr)) % 4
-    if pad:
-        arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
-    w32 = arr.reshape(-1, 4).astype(np.uint32)
-    words = jnp.asarray(
-        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
-    )
-    starts = np.concatenate([[0], np.cumsum(header.tile_lengths)[:-1]]) * 8
-    bufs = _decode_tiles(
-        words, jnp.asarray(starts, dtype=jnp.int32), th, tw, c, cfg, nb
-    )
+    from felics_tpu.ops import pallas_codec
+
+    lens = header.tile_lengths.astype(np.int64)
+    wd = max(1, int(-(-(lens.max()) // 4)))
+    if _resolve_engine(engine) == "pallas" and pallas_codec.fits_vmem(
+        c * th * tw, wd
+    ):
+        starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        cols = _payload_to_columns(payload[:expected], starts_b, lens, wd)
+        bufs = pallas_codec.decode_tiles(jnp.asarray(cols), cfg, th, tw, c)
+    else:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        pad = (-len(arr)) % 4
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+        w32 = arr.reshape(-1, 4).astype(np.uint32)
+        words = jnp.asarray(
+            (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+        )
+        starts = np.concatenate([[0], np.cumsum(header.tile_lengths)[:-1]]) * 8
+        bufs = _decode_tiles(
+            words, jnp.asarray(starts, dtype=jnp.int32), th, tw, c, cfg, nb
+        )
     depth_max = 255 if header.pixel_depth == PixelDepth.EIGHT else 65535
     out, valid = _assemble_image(
         bufs, th, tw, c, ty, tx, h, w, depth_max
