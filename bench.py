@@ -122,12 +122,11 @@ def tpu_bench(images):
     ), "pallas container round-trip mismatch"
     W = pc.width_hint(cfg, t, c)
 
-    jmod, row_a, row_b = pc._meta_arrays(th, tw, c)
-    jm, ra, rb = jnp.asarray(jmod), jnp.asarray(row_a), jnp.asarray(row_b)
+    meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
 
     def encode_once(tiles_ls):
         return pc._encode_tiles_pallas(
-            tiles_ls, jm, ra, rb, t, c, W, cfg, False
+            tiles_ls, *meta, t, c, W, cfg, False
         )
 
     # The tunneled platform can serve repeated identical executions from a
@@ -171,7 +170,7 @@ def tpu_bench(images):
     dec_inputs = [cols_of(wd_, b_) for (wd_, b_) in enc_results]
 
     def decode_once(cols):
-        return pc._decode_tiles_pallas(cols, jm, ra, rb, t, c, cfg, False)
+        return pc._decode_tiles_pallas(cols, *meta, t, c, cfg, False)
 
     bufs = decode_once(dec_inputs[0])
     _sync(bufs)  # warm/compile

@@ -47,25 +47,30 @@ def compress_channel(
     config: CodingConfig,
     bitwriter: BitWriter,
     bucketed_k: bool = False,
+    pre_bits: int = 32,
 ) -> None:
     """``bucketed_k``: index the k-estimator by bit_length(context) instead of
     the exact context — the FLCT tiled format's rule (see
-    felics_tpu.ops.kscan_tiled); FLCS uses the exact context."""
+    felics_tpu.ops.kscan_tiled); FLCS uses the exact context. ``pre_bits``:
+    raw preamble width (32 for FLCS; depth(+1 for signed Co/Cg planes) for
+    FLCT, two's-complement truncated)."""
     channel = np.asarray(channel, dtype=np.int64)
     total = width * height
     if total > channel.size:
         raise ValueError("channel is not big enough")
 
+    mask = (1 << pre_bits) - 1
+
     if width == 0 or height == 0:
-        bitwriter.write_signed32(0)
-        bitwriter.write_signed32(0)
+        bitwriter.write(pre_bits, 0)
+        bitwriter.write(pre_bits, 0)
         return
     if width == 1 and height == 1:
-        bitwriter.write_signed32(int(channel[0]))
-        bitwriter.write_signed32(0)
+        bitwriter.write(pre_bits, int(channel[0]) & mask)
+        bitwriter.write(pre_bits, 0)
         return
-    bitwriter.write_signed32(int(channel[0]))
-    bitwriter.write_signed32(int(channel[1]))
+    bitwriter.write(pre_bits, int(channel[0]) & mask)
+    bitwriter.write(pre_bits, int(channel[1]) & mask)
 
     estimator = KEstimator(config.max_context, config.k_values, config.count_scaling)
     coders = {k: RiceCoder(k) for k in config.k_values}
@@ -98,9 +103,18 @@ def decompress_channel(
     config: CodingConfig,
     bitreader: BitReader,
     bucketed_k: bool = False,
+    pre_bits: int = 32,
+    pre_signed: bool = False,
 ) -> np.ndarray:
-    pixel1 = bitreader.read_signed32()
-    pixel2 = bitreader.read_signed32()
+    def read_pre() -> int:
+        raw = bitreader.read(pre_bits)
+        if pre_bits == 32 or pre_signed:
+            sign = 1 << (pre_bits - 1)
+            return (raw ^ sign) - sign
+        return raw
+
+    pixel1 = read_pre()
+    pixel2 = read_pre()
 
     if width == 0 or height == 0:
         return np.zeros(0, dtype=np.int64)

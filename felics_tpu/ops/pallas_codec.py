@@ -44,9 +44,13 @@ from felics_tpu.core.context import neighbour_indices
 
 _I32_MAX = 0x7FFFFFFF  # plain int: jnp scalars would be captured kernel consts
 
-# VMEM budget for choosing the lane-block size B (bytes; leaves headroom
-# below the ~16 MB/core for carries, spills, and double buffering).
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for choosing the lane-block size B (bytes; probed ceiling on
+# v5e is ~24-32 MB — leave headroom for spills and compiler temporaries).
+import os as _os
+
+_VMEM_BUDGET = int(
+    _os.environ.get("FELICS_TPU_VMEM_BUDGET", 18 * 1024 * 1024)
+)
 
 
 def on_tpu() -> bool:
@@ -72,21 +76,26 @@ def lane_block(S: int, W: int) -> int:
     loop carries (k-table, window/accumulator state) are single-buffered."""
     per_lane = 4 * (2 * (S + W) + 96)
     b = _VMEM_BUDGET // max(per_lane, 1)
-    b = min(1024, (b // 128) * 128)
+    b = min(2048, (b // 128) * 128)
     return max(128, b)
 
 
 @functools.lru_cache(maxsize=64)
-def _meta_arrays(th: int, tw: int, c: int):
-    """Per-step prefetch scalars: jmod (pixel index within plane) and the
-    absolute row indices of the two causal neighbours (self for j < 2)."""
+def _meta_arrays(th: int, tw: int, c: int, depth_bits: int):
+    """Per-step prefetch scalars: jmod (pixel index within plane), the
+    absolute row indices of the two causal neighbours (self for j < 2), and
+    the preamble width/signedness for the step's plane (plane 0 unsigned
+    ``depth`` bits; Co/Cg planes signed ``depth+1``-bit two's complement)."""
     t = th * tw
     a_idx, b_idx = neighbour_indices(th, tw, xp=np)
     i = np.arange(c * t, dtype=np.int64)
     j = (i % t).astype(np.int64)
+    ch = i // t
     row_a = np.where(j >= 2, i - j + a_idx[j], i).astype(np.int32)
     row_b = np.where(j >= 2, i - j + b_idx[j], i).astype(np.int32)
-    return j.astype(np.int32), row_a, row_b
+    pre_w = (depth_bits + (ch > 0)).astype(np.int32)
+    pre_sgn = (ch > 0).astype(np.int32)
+    return j.astype(np.int32), row_a, row_b, pre_w, pre_sgn
 
 
 def _shl(v, s):
@@ -125,6 +134,8 @@ def _encode_kernel_body(
     jmod_ref,
     row_a_ref,
     row_b_ref,
+    pre_w_ref,
+    pre_sgn_ref,
     vals_ref,
     out_ref,
     lens_ref,
@@ -176,12 +187,14 @@ def _encode_kernel_body(
         j = jmod_ref[i]
 
         def preamble(table, state):
-            # j == 0: raw 32-bit first two pixels; fresh k statistics
-            # (reference: src/compression.rs:104-114).
-            p0 = vals_ref[i, :].astype(jnp.uint32)
-            p1 = vals_ref[i + 1, :].astype(jnp.uint32)
-            state = append(state, p0, jnp.full((B,), 32, jnp.int32))
-            state = append(state, p1, jnp.full((B,), 32, jnp.int32))
+            # j == 0: depth-sized raw first two pixels (two's-complement
+            # truncated for the signed Co/Cg planes); fresh k statistics.
+            w = pre_w_ref[i]
+            maskv = ((1 << w) - 1)
+            p0 = (vals_ref[i, :] & maskv).astype(jnp.uint32)
+            p1 = (vals_ref[i + 1, :] & maskv).astype(jnp.uint32)
+            state = append(state, p0, jnp.full((B,), 1, jnp.int32) * w)
+            state = append(state, p1, jnp.full((B,), 1, jnp.int32) * w)
             return jnp.zeros_like(table), state
 
         def skip(table, state):
@@ -297,8 +310,8 @@ def _encode_kernel_body(
     jax.jit, static_argnames=("t", "c", "W", "cfg", "interpret")
 )
 def _encode_tiles_pallas(
-    tiles_ls, jmod, row_a, row_b, t: int, c: int, W: int, cfg: CodingConfig,
-    interpret: bool,
+    tiles_ls, jmod, row_a, row_b, pre_w, pre_sgn, t: int, c: int, W: int,
+    cfg: CodingConfig, interpret: bool,
 ):
     """tiles_ls: (L, S) int32 tile channel planes. Returns
     (words (W, L) uint32, bits (L,) int32)."""
@@ -315,7 +328,7 @@ def _encode_tiles_pallas(
     words, lens = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(Lp // B,),
             in_specs=[
                 pl.BlockSpec((S, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
@@ -330,7 +343,7 @@ def _encode_tiles_pallas(
             jax.ShapeDtypeStruct((8, Lp), jnp.int32),
         ],
         interpret=interpret,
-    )(jmod, row_a, row_b, vals)
+    )(jmod, row_a, row_b, pre_w, pre_sgn, vals)
     return words[:, :L].T, lens[0, :L]
 
 
@@ -344,13 +357,11 @@ def encode_tiles(
     (detect via bits > W*32; the kernel drops overflowing words safely).
     """
     nt, c, t = tiles.shape
-    jmod, row_a, row_b = _meta_arrays(th, tw, c)
+    meta = _meta_arrays(th, tw, c, cfg.depth_bits)
     tiles_ls = jnp.asarray(np.ascontiguousarray(tiles.reshape(nt, c * t)))
     return _encode_tiles_pallas(
         tiles_ls,
-        jnp.asarray(jmod),
-        jnp.asarray(row_a),
-        jnp.asarray(row_b),
+        *(jnp.asarray(m) for m in meta),
         t,
         c,
         W,
@@ -411,6 +422,8 @@ def _decode_kernel_body(
     jmod_ref,
     row_a_ref,
     row_b_ref,
+    pre_w_ref,
+    pre_sgn_ref,
     cols_ref,
     out_ref,
     *,
@@ -454,9 +467,17 @@ def _decode_kernel_body(
             return _shr(x, 32 - n)
 
         def preamble(table, pos):
-            value = jax.lax.bitcast_convert_type(win0, jnp.int32)
+            # Depth-sized raw pixel; sign-extend the Co/Cg planes.
+            w = pre_w_ref[i]
+            sh = jnp.uint32(32 - w)
+            raw_u = win0 >> sh
+            raw = jax.lax.bitcast_convert_type(raw_u, jnp.int32)
+            sext = jax.lax.bitcast_convert_type(raw_u << sh, jnp.int32) >> (
+                32 - w
+            )
+            value = jnp.where(pre_sgn_ref[i] > 0, sext, raw)
             table = jnp.where(j == 0, 0, table)
-            return table, pos + 32, value
+            return table, pos + w, value
 
         def main(table, pos):
             va = out_ref[row_a_ref[i], :]
@@ -611,8 +632,8 @@ def _decode_kernel_body(
     jax.jit, static_argnames=("t", "c", "cfg", "interpret")
 )
 def _decode_tiles_pallas(
-    cols_lw, jmod, row_a, row_b, t: int, c: int, cfg: CodingConfig,
-    interpret: bool,
+    cols_lw, jmod, row_a, row_b, pre_w, pre_sgn, t: int, c: int,
+    cfg: CodingConfig, interpret: bool,
 ):
     """cols_lw: (L, W) uint32 per-tile stream words. Returns (L, S) int32."""
     L, W = cols_lw.shape
@@ -636,7 +657,7 @@ def _decode_tiles_pallas(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(Lp // B,),
             in_specs=[
                 pl.BlockSpec((W, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
@@ -647,7 +668,7 @@ def _decode_tiles_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((S, Lp), jnp.int32),
         interpret=interpret,
-    )(jmod, row_a, row_b, cols)
+    )(jmod, row_a, row_b, pre_w, pre_sgn, cols)
     return out[:, :L].T
 
 
@@ -656,12 +677,10 @@ def decode_tiles(
 ) -> jnp.ndarray:
     """Decode per-tile stream word rows (L, W) into (L, C, t) int32 planes."""
     t = th * tw
-    jmod, row_a, row_b = _meta_arrays(th, tw, c)
+    meta = _meta_arrays(th, tw, c, cfg.depth_bits)
     out = _decode_tiles_pallas(
         cols_lw,
-        jnp.asarray(jmod),
-        jnp.asarray(row_a),
-        jnp.asarray(row_b),
+        *(jnp.asarray(m) for m in meta),
         t,
         c,
         cfg,

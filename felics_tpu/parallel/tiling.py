@@ -17,12 +17,15 @@ Layout (all integers big-endian):
 The image is edge-replicated up to a multiple of the tile size; tiles are
 row-major over the padded canvas. Each tile's stream is FELICS coding of its
 channel planes (Y/Co/Cg for RGB) coded back-to-back exactly like a miniature
-FLCS payload — per-tile raw 32-bit first-two-pixels preamble, fresh k
-statistics — with ONE deviation: the k-estimator is indexed by the
-log-bucketed context ``qctx = bit_length(Δ)`` (felics_tpu.ops.kscan_tiled)
-instead of exact Δ. Buckets keep per-tile tables tiny (10/18 rows), which is
-what lets thousands of tiles decode concurrently on-chip and lets the encoder
-skip the FLCS path's global sort.
+FLCS payload — per-tile raw first-two-pixels preamble, fresh k statistics —
+with TWO deviations: (1) the k-estimator is indexed by the log-bucketed
+context ``qctx = bit_length(Δ)`` (felics_tpu.ops.kscan_tiled) instead of
+exact Δ — buckets keep per-tile tables tiny (10/18 rows), which is what lets
+thousands of tiles decode concurrently on-chip; (2) the raw preamble pixels
+are depth-sized rather than 32-bit (plane 0: ``depth`` unsigned bits; the
+signed Co/Cg planes: ``depth+1``-bit two's complement) — per-tile restart
+overhead matters at tile granularity where 32-bit preambles cost ~1% of the
+whole payload.
 
 Tiles are mutually independent: encode is one batched XLA program over all
 tiles; decode vmaps a per-tile sequential scan; the tile axis shards over a
@@ -186,13 +189,20 @@ def _tiled_stage2(
     pix = jnp.arange(t, dtype=jnp.int32)
     is0 = pix == 0
     is1 = pix == 1
-    p0 = tiles[..., 0:1].astype(jnp.uint32)
-    p1 = tiles[..., 1:2].astype(jnp.uint32)
+    # Depth-sized raw preamble: plane 0 (gray/Y) is unsigned depth bits;
+    # planes 1-2 (Co/Cg) are signed, stored as depth+1-bit two's complement.
+    pre_w = (
+        cfg.depth_bits
+        + (jnp.arange(c, dtype=jnp.int32) > 0).astype(jnp.int32)
+    )[None, :, None]
+    pre_mask = ((jnp.uint32(1) << pre_w) - 1).astype(jnp.uint32)
+    p0 = tiles[..., 0:1].astype(jnp.uint32) & pre_mask
+    p1 = tiles[..., 1:2].astype(jnp.uint32) & pre_mask
     a_val = jnp.where(is0, p0, jnp.where(is1, 0, a_val)).astype(jnp.uint32)
-    a_len = jnp.where(is0, 32, jnp.where(is1, 0, a_len)).astype(jnp.int32)
+    a_len = jnp.where(is0, pre_w, jnp.where(is1, 0, a_len)).astype(jnp.int32)
     q = jnp.where(is0 | is1, 0, q).astype(jnp.int32)
     b_val = jnp.where(is0, p1, jnp.where(is1, 0, b_val)).astype(jnp.uint32)
-    b_len = jnp.where(is0, 32, jnp.where(is1, 0, b_len)).astype(jnp.int32)
+    b_len = jnp.where(is0, pre_w, jnp.where(is1, 0, b_len)).astype(jnp.int32)
 
     # --- offsets: per-tile bit cumsum, byte-aligned tile starts ---
     lens = (a_len + q + b_len).reshape(nt, c * t)
@@ -429,8 +439,17 @@ def _decode_tiles(
             carry2 = jnp.where(off > 0, w_c >> (jnp.uint32(32) - off), jnp.uint32(0))
             win1 = (w_b << off) | carry2
 
-            # Raw 32-bit preamble for the first two pixels of each channel.
-            raw = jax.lax.bitcast_convert_type(win0, jnp.int32)
+            # Depth-sized raw preamble for the first two pixels of each
+            # channel (planes > 0 are signed two's complement, +1 bit).
+            ch_i = i // t
+            pre_w = cfg.depth_bits + jnp.where(ch_i > 0, 1, 0)
+            pre_sh = (jnp.int32(32) - pre_w).astype(jnp.uint32)
+            raw_u = (win0 >> pre_sh).astype(jnp.uint32)
+            raw_lo = jax.lax.bitcast_convert_type(raw_u << pre_sh, jnp.int32)
+            raw_sx = raw_lo >> pre_sh.astype(jnp.int32)  # arithmetic
+            raw = jnp.where(
+                ch_i > 0, raw_sx, jax.lax.bitcast_convert_type(raw_u, jnp.int32)
+            )
 
             va = buf[ch * t + a_idx[j]]
             vb = buf[ch * t + b_idx[j]]
@@ -524,7 +543,7 @@ def _decode_tiles(
 
             value = jnp.where(is_pre, raw, jnp.where(is_in, in_value, oor_value))
             new_pos = jnp.where(
-                is_pre, pos + 32, jnp.where(is_in, in_pos, oor_pos)
+                is_pre, pos + pre_w, jnp.where(is_in, in_pos, oor_pos)
             )
             buf = buf.at[i].set(value)
             return (new_pos, table, buf), None

@@ -293,20 +293,23 @@ inline uint32_t k_context(uint32_t context, bool bucketed) {
 
 void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
                       const CodingParams& params, BitSink& sink,
-                      bool bucketed_k = false) {
+                      bool bucketed_k = false, uint32_t pre_bits = 32) {
+  // pre_bits: raw first-two-pixels preamble width. FLCS uses 32 (reference
+  // interop, src/compression.rs:104-107); FLCT uses depth(+1 for the signed
+  // Co/Cg planes) — two's-complement truncation, see tiling.py format spec.
   const size_t total = static_cast<size_t>(width) * height;
   if (width == 0 || height == 0) {
-    sink.put_i32(0);
-    sink.put_i32(0);
+    sink.put(pre_bits, 0);
+    sink.put(pre_bits, 0);
     return;
   }
   if (width == 1 && height == 1) {
-    sink.put_i32(chan[0]);
-    sink.put_i32(0);
+    sink.put(pre_bits, static_cast<uint32_t>(chan[0]));
+    sink.put(pre_bits, 0);
     return;
   }
-  sink.put_i32(chan[0]);
-  sink.put_i32(chan[1]);
+  sink.put(pre_bits, static_cast<uint32_t>(chan[0]));
+  sink.put(pre_bits, static_cast<uint32_t>(chan[1]));
 
   KEstimator estimator(params);
   for (size_t i = 2; i < total; ++i) {
@@ -340,9 +343,22 @@ void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
 
 int decompress_channel(uint32_t width, uint32_t height,
                        const CodingParams& params, BitSource& src,
-                       int32_t* out, bool bucketed_k = false) {
+                       int32_t* out, bool bucketed_k = false,
+                       uint32_t pre_bits = 32, bool pre_signed = false) {
   int32_t pixel1, pixel2;
-  if (!src.get_i32(&pixel1) || !src.get_i32(&pixel2)) return FEL_EIO;
+  uint32_t raw1, raw2;
+  if (!src.get(pre_bits, &raw1) || !src.get(pre_bits, &raw2)) return FEL_EIO;
+  if (pre_bits == 32) {
+    pixel1 = static_cast<int32_t>(raw1);
+    pixel2 = static_cast<int32_t>(raw2);
+  } else if (pre_signed) {
+    const uint32_t sh = 32 - pre_bits;
+    pixel1 = static_cast<int32_t>(raw1 << sh) >> sh;
+    pixel2 = static_cast<int32_t>(raw2 << sh) >> sh;
+  } else {
+    pixel1 = static_cast<int32_t>(raw1);
+    pixel2 = static_cast<int32_t>(raw2);
+  }
   if (width == 0 || height == 0) return FEL_OK;
   if (width == 1 && height == 1) {
     out[0] = pixel1;
@@ -660,8 +676,10 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
     for (int c = 0; c < nchan; ++c) {
       tile_plane(pixels, width, height, nchan, c, tyi, txi, th, tw,
                  plane.data());
+      const uint32_t pre =
+          (pixel_depth == kDepth8 ? 8u : 16u) + (c > 0 ? 1u : 0u);
       compress_channel(plane.data(), tw, th, tiled_params, sink,
-                       /*bucketed_k=*/true);
+                       /*bucketed_k=*/true, pre);
     }
     sink.byte_align();
   });
@@ -754,9 +772,12 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
     const size_t tsz = static_cast<size_t>(th) * tw;
     std::vector<int32_t> planes(tsz * nchan);
     for (int c = 0; c < nchan; ++c) {
+      const uint32_t pre =
+          (depth == kDepth8 ? 8u : 16u) + (c > 0 ? 1u : 0u);
       int st = decompress_channel(tw, th, tiled_params, src,
                                   planes.data() + c * tsz,
-                                  /*bucketed_k=*/true);
+                                  /*bucketed_k=*/true, pre,
+                                  /*pre_signed=*/c > 0);
       if (st != FEL_OK) {
         statuses[t] = st;
         return;

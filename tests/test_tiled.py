@@ -76,12 +76,17 @@ def test_degenerate_dims():
 
 
 def scalar_decode_tile_stream(tile_bytes, th, tw, channels, cfg):
-    """Independent scalar decode of one tile stream (oracle, bucketed k)."""
+    """Independent scalar decode of one tile stream (oracle, bucketed k,
+    depth-sized preamble: plane 0 unsigned depth bits, Co/Cg signed +1)."""
     reader = BitReader(tile_bytes)
     planes = []
-    for _ in range(channels):
+    for ch in range(channels):
         planes.append(
-            oracle.decompress_channel(tw, th, cfg, reader, bucketed_k=True)
+            oracle.decompress_channel(
+                tw, th, cfg, reader, bucketed_k=True,
+                pre_bits=cfg.depth_bits + (1 if ch > 0 else 0),
+                pre_signed=ch > 0,
+            )
         )
     return planes
 
