@@ -26,7 +26,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 SUITE = "/root/reference/image-suite/grayscale/8bit"
-TILE = 32
+TILE = 64  # within 1% of single-stream FLCS size (docs/DESIGN.md)
 MAX_IMAGES = 12
 
 

@@ -97,12 +97,15 @@ class TileConfig:
     first-two-pixels raw preamble and the k statistics, so they encode and
     decode in parallel with zero cross-tile state. ``tile_h``/``tile_w`` trade
     compression ratio (smaller tiles → more restart overhead, less adapted k)
-    against parallelism; 128x128 keeps the ratio within ~1% of single-stream
-    on the reference corpus while giving a 512x512 image 16-way parallelism.
+    against parallelism; 64x64 keeps the ratio within ~0.5% of single-stream
+    on the reference corpus (measured, 12x512x512 grayscale batch), gives a
+    512x512 image 64-way parallelism, and fits the fused Pallas kernels'
+    VMEM budget (ops.pallas_codec) — larger tiles fall back to the XLA
+    engine.
     """
 
-    tile_h: int = 128
-    tile_w: int = 128
+    tile_h: int = 64
+    tile_w: int = 64
 
     def grid(self, height: int, width: int) -> Tuple[int, int]:
         th = -(-height // self.tile_h) if height else 0

@@ -44,12 +44,13 @@ from felics_tpu.core.context import neighbour_indices
 
 _I32_MAX = 0x7FFFFFFF  # plain int: jnp scalars would be captured kernel consts
 
-# VMEM budget for choosing the lane-block size B (bytes; probed ceiling on
-# v5e is ~24-32 MB — leave headroom for spills and compiler temporaries).
+# VMEM budget for choosing the lane-block size B (bytes; the probed ceiling
+# on v5e is ~24-32 MB, but Mosaic needs sizeable headroom for the ring
+# carries and spill temporaries — 12 MB is the largest that compiles).
 import os as _os
 
 _VMEM_BUDGET = int(
-    _os.environ.get("FELICS_TPU_VMEM_BUDGET", 18 * 1024 * 1024)
+    _os.environ.get("FELICS_TPU_VMEM_BUDGET", 12 * 1024 * 1024)
 )
 
 
@@ -130,6 +131,14 @@ def _sum_u32(masked_i32, axis=0):
 # ---------------------------------------------------------------------------
 
 
+# Emit/fetch ring geometry: each lane buffers _RING words; _SPILL words move
+# between the ring and the (W, B) stream block at a time, in G-aligned block
+# selects (never a W-wide one-hot — that sweep dominated the first kernel
+# version at ~W*B elements PER STEP; the ring makes it W*B per ~G*32 bits).
+_RING = 32
+_SPILL = 16
+
+
 def _encode_kernel_body(
     jmod_ref,
     row_a_ref,
@@ -149,13 +158,44 @@ def _encode_kernel_body(
 ):
     """One grid program: encode B tile streams of S pixels each."""
     out_ref[:] = jnp.zeros_like(out_ref)
-    rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    R, G = _RING, _SPILL
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
     bucket_rows = jax.lax.broadcasted_iota(jnp.int32, (nb * K, B), 0) // K
     k_rows = jax.lax.broadcasted_iota(jnp.int32, (nb * K, B), 0) % K
 
+    def spill(ring, spilled, need):
+        """Move ring[0:G] of `need` lanes to out rows [spilled, spilled+G).
+
+        spilled is always a multiple of G, so each lane hits exactly ONE
+        G-aligned output block — a per-block select, no word-level one-hot."""
+        half = ring[0:G, :]
+        for blk in range(W // G):
+            sel = ((spilled == blk * G) & need)[None, :]
+            cur = out_ref[blk * G : (blk + 1) * G, :]
+            out_ref[blk * G : (blk + 1) * G, :] = jnp.where(sel, half, cur)
+        ring = jnp.where(
+            need[None, :],
+            jnp.concatenate([ring[G:, :], jnp.zeros((G, B), jnp.uint32)]),
+            ring,
+        )
+        spilled = spilled + jnp.where(need, G, 0)
+        return ring, spilled
+
+    def maybe_spill(ring, spilled, wi):
+        def cond(st):
+            ring, spilled = st
+            return jnp.any(wi - spilled >= R - 6)
+
+        def body(st):
+            ring, spilled = st
+            return spill(ring, spilled, (wi - spilled) >= G)
+
+        return jax.lax.while_loop(cond, body, (ring, spilled))
+
     def append(state, val, ln):
-        """Append per-lane (val, ln<=32 bits); emit full words via one-hot."""
-        acc0, acc1, nbits, wi = state
+        """Append per-lane (val, ln<=32 bits); emit full words into the ring
+        at slot (wi - spilled) — a one-hot over only R rows."""
+        acc0, acc1, nbits, wi, ring, spilled = state
         val = jnp.where(ln > 0, val, jnp.uint32(0))
         sh = 64 - nbits - ln  # >= 1 (nbits <= 31, ln <= 32)
         hi = jnp.where(sh >= 32, _shl(val, sh - 32), _shr(val, 32 - sh))
@@ -164,26 +204,21 @@ def _encode_kernel_body(
         acc1 = acc1 | lo
         nbits = nbits + ln
         emit = nbits >= 32
-
-        @pl.when(jnp.any(emit))
-        def _():
-            hit = (rows_w == wi[None, :]) & emit[None, :]
-            contrib = jnp.where(
-                hit, jax.lax.bitcast_convert_type(acc0, jnp.int32)[None, :], 0
-            )
-            out_ref[:] = jax.lax.bitcast_convert_type(
-                jax.lax.bitcast_convert_type(out_ref[:], jnp.int32) + contrib,
-                jnp.uint32,
-            )
-
+        hit = (rows_r == (wi - spilled)[None, :]) & emit[None, :]
+        ring = ring | jnp.where(hit, acc0[None, :], jnp.uint32(0))
         acc0 = jnp.where(emit, acc1, acc0)
         acc1 = jnp.where(emit, jnp.uint32(0), acc1)
         wi = wi + emit.astype(jnp.int32)
         nbits = nbits - 32 * emit.astype(jnp.int32)
-        return (acc0, acc1, nbits, wi)
+        return (acc0, acc1, nbits, wi, ring, spilled)
 
     def step(i, carry):
         table, state = carry
+        # Keep ring headroom for this step's <=2 unconditional emits (the
+        # unary drain loop re-checks internally).
+        acc0, acc1, nbits, wi, ring, spilled = state
+        ring, spilled = maybe_spill(ring, spilled, wi)
+        state = (acc0, acc1, nbits, wi, ring, spilled)
         j = jmod_ref[i]
 
         def preamble(table, state):
@@ -263,6 +298,9 @@ def _encode_kernel_body(
 
             def drain(st):
                 state, q_rem = st
+                acc0, acc1, nbits, wi, ring, spilled = state
+                ring, spilled = maybe_spill(ring, spilled, wi)
+                state = (acc0, acc1, nbits, wi, ring, spilled)
                 chunk = jnp.minimum(q_rem, 32)
                 ones = _shr(jnp.uint32(0xFFFFFFFF), 32 - chunk)
                 return append(state, ones, chunk), q_rem - chunk
@@ -289,19 +327,28 @@ def _encode_kernel_body(
         jnp.zeros((B,), jnp.uint32),
         zeros_b,
         zeros_b,
+        jnp.zeros((R, B), jnp.uint32),
+        zeros_b,
     )
-    _, (acc0, _, nbits, wi) = jax.lax.fori_loop(0, S, step, (table0, state0))
+    _, (acc0, _, nbits, wi, ring, spilled) = jax.lax.fori_loop(
+        0, S, step, (table0, state0)
+    )
 
     bits = wi * 32 + nbits
-    # Final flush of the partial word (byte-align padding is the zero fill).
-    hit = (rows_w == wi[None, :]) & (nbits > 0)[None, :]
-    contrib = jnp.where(
-        hit, jax.lax.bitcast_convert_type(acc0, jnp.int32)[None, :], 0
-    )
-    out_ref[:] = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(out_ref[:], jnp.int32) + contrib,
-        jnp.uint32,
-    )
+    # Flush the partial word into the ring (byte-align padding is the zero
+    # fill), then spill everything left.
+    hit = (rows_r == (wi - spilled)[None, :]) & (nbits > 0)[None, :]
+    ring = ring | jnp.where(hit, acc0[None, :], jnp.uint32(0))
+    end_words = wi + (nbits > 0).astype(jnp.int32)
+
+    def drain_cond(st):
+        return jnp.any(st[1] < end_words)
+
+    def drain_all(st):
+        ring, spilled = st
+        return spill(ring, spilled, spilled < end_words)
+
+    jax.lax.while_loop(drain_cond, drain_all, (ring, spilled))
     lens_ref[:] = jnp.zeros_like(lens_ref)
     lens_ref[0, :] = bits
 
@@ -371,10 +418,11 @@ def encode_tiles(
 
 
 def bucket_words(w: int) -> int:
-    """Round a word count up to a coarse bucket (bounds jit recompiles)."""
+    """Round a word count up to a coarse bucket (bounds jit recompiles;
+    always a multiple of the ring spill block)."""
     w = max(64, w)
     gran = max(32, 1 << max(0, w.bit_length() - 3))
-    return -(-w // gran) * gran
+    return -(-w // gran) * gran  # gran >= 32 keeps _SPILL alignment
 
 
 _w_hints: dict = {}
@@ -410,7 +458,8 @@ def encode_width_bound(cfg: CodingConfig, t: int, c: int) -> int:
     per_pixel = cfg.max_phase_in_bits + 2  # in-range worst case
     per_pixel = max(per_pixel, 2 + 1 + max(cfg.k_values) + 8)  # typical oor
     bits = c * (64 + t * (per_pixel + 8))
-    return -(-bits // 32)
+    w = -(-bits // 32)
+    return -(-w // _SPILL) * _SPILL  # spill-block aligned
 
 
 # ---------------------------------------------------------------------------
@@ -436,21 +485,63 @@ def _decode_kernel_body(
     max_context: int,
 ):
     """One grid program: decode B tile streams into (S, B) pixel planes."""
+    R, G = _RING, _SPILL
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
+    rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
     bucket_rows = jax.lax.broadcasted_iota(jnp.int32, (nb * K, B), 0) // K
     k_rows = jax.lax.broadcasted_iota(jnp.int32, (nb * K, B), 0) % K
-    cols_i32 = None  # loaded lazily inside fetch
 
     def fetch(idx):
-        """Per-lane word cols[idx[lane], lane]; 0 when idx out of range."""
+        """Direct per-lane word cols[idx[lane], lane]; 0 when out of range.
+        Full-width one-hot — only for the RARE slow paths (unary overrun,
+        window rebuild); the hot path reads through the ring."""
         hit = rows_w == idx[None, :]
         masked = jnp.where(
             hit, jax.lax.bitcast_convert_type(cols_ref[:], jnp.int32), 0
         )
         return _sum_u32(masked, axis=0)
 
+    def load_block(lo, need):
+        """(G, B) words cols[lo:lo+G] per lane (lo multiple of G): exactly one
+        G-aligned block select per lane — no word-level one-hot."""
+        red = jnp.zeros((G, B), jnp.uint32)
+        for blk in range(W // G):
+            sel = ((lo == blk * G) & need)[None, :]
+            red = jnp.where(sel, cols_ref[blk * G : (blk + 1) * G, :], red)
+        return red
+
+    def fetch_ring(ring, rbase, idx):
+        """Per-lane word at idx ∈ [rbase, rbase+R) via a one-hot over R rows."""
+        hit = rows_r == (idx - rbase)[None, :]
+        masked = jnp.where(
+            hit, jax.lax.bitcast_convert_type(ring, jnp.int32), 0
+        )
+        return _sum_u32(masked, axis=0)
+
+    def refill(ring, rbase, need):
+        new = load_block(rbase + R, need)
+        ring = jnp.where(
+            need[None, :], jnp.concatenate([ring[G:, :], new]), ring
+        )
+        return ring, rbase + jnp.where(need, G, 0)
+
     def step(i, carry):
-        table, pos, w0, w1, w2 = carry
+        table, pos, w0, w1, w2, ring, rbase = carry
+        # Top up the ring so [wp, wp+4] stays resident through this step.
+        wp0 = pos >> 5
+
+        def need_fill(st):
+            ring, rbase = st
+            return jnp.any(wp0 + 6 > rbase + R - 1)
+
+        def do_fill(st):
+            ring, rbase = st
+            # Refill every lane whose cursor has fully passed the half being
+            # evicted (wp0 >= rbase+G) — eager top-up is only safe then; the
+            # hard-need lanes (wp0 >= rbase+R-6) all qualify.
+            return refill(ring, rbase, (wp0 - rbase) >= G)
+
+        ring, rbase = jax.lax.while_loop(need_fill, do_fill, (ring, rbase))
         j = jmod_ref[i]
         off = (pos & 31).astype(jnp.uint32)
         # Aligned 64-bit window at the cursor.
@@ -595,7 +686,8 @@ def _decode_kernel_body(
         table, new_pos, value = jax.lax.cond(j < 2, preamble, main, table, pos)
         out_ref[i, :] = value
 
-        # Advance the 96-bit window to the new cursor word.
+        # Advance the 96-bit window to the new cursor word (ring reads; the
+        # refill at step start guarantees wp+4 is resident).
         wp = pos >> 5
         nwp = new_pos >> 5
         delta = nwp - wp
@@ -603,7 +695,7 @@ def _decode_kernel_body(
         def adv_once(st, r):
             w0, w1, w2 = st
             go = delta > r
-            nw = fetch(wp + 3 + r)
+            nw = fetch_ring(ring, rbase, wp + 3 + r)
             w0 = jnp.where(go, w1, w0)
             w1 = jnp.where(go, w2, w1)
             w2 = jnp.where(go, nw, w2)
@@ -613,19 +705,41 @@ def _decode_kernel_body(
         st = adv_once(st, 0)
         st = adv_once(st, 1)
 
-        def rebuild(st):
-            return (fetch(nwp), fetch(nwp + 1), fetch(nwp + 2))
+        def rebuild(args):
+            # Rare (unary overrun jumped far): direct-fetch the window and
+            # resync the ring onto the new cursor block.
+            st, ring, rbase = args
+            m = delta > 2
+            nbase = nwp & ~(G - 1)
+            new_ring = jnp.concatenate(
+                [load_block(nbase, m), load_block(nbase + G, m)]
+            )
+            ring = jnp.where(m[None, :], new_ring, ring)
+            rbase = jnp.where(m, nbase, rbase)
+            return (fetch(nwp), fetch(nwp + 1), fetch(nwp + 2)), ring, rbase
 
-        st = jax.lax.cond(jnp.any(delta > 2), rebuild, lambda s: s, st)
+        st, ring, rbase = jax.lax.cond(
+            jnp.any(delta > 2), rebuild, lambda a: a, (st, ring, rbase)
+        )
         w0, w1, w2 = st
-        return (table, new_pos, w0, w1, w2)
+        return (table, new_pos, w0, w1, w2, ring, rbase)
 
     table0 = jnp.zeros((nb * K, B), jnp.int32)
     pos0 = jnp.zeros((B,), jnp.int32)
-    w0 = fetch(jnp.zeros((B,), jnp.int32))
-    w1 = fetch(jnp.ones((B,), jnp.int32))
-    w2 = fetch(jnp.full((B,), 2, jnp.int32))
-    jax.lax.fori_loop(0, S, step, (table0, pos0, w0, w1, w2))
+    all_lanes = jnp.ones((B,), bool)
+    ring0 = jnp.concatenate(
+        [
+            load_block(jnp.zeros((B,), jnp.int32), all_lanes),
+            load_block(jnp.full((B,), G, jnp.int32), all_lanes),
+        ]
+    )
+    rbase0 = jnp.zeros((B,), jnp.int32)
+    w0 = fetch_ring(ring0, rbase0, jnp.zeros((B,), jnp.int32))
+    w1 = fetch_ring(ring0, rbase0, jnp.ones((B,), jnp.int32))
+    w2 = fetch_ring(ring0, rbase0, jnp.full((B,), 2, jnp.int32))
+    jax.lax.fori_loop(
+        0, S, step, (table0, pos0, w0, w1, w2, ring0, rbase0)
+    )
 
 
 @functools.partial(

@@ -609,7 +609,7 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     from felics_tpu.ops import pallas_codec
 
     lens = header.tile_lengths.astype(np.int64)
-    wd = max(1, int(-(-(lens.max()) // 4)))
+    wd = pallas_codec.bucket_words(int(-(-(lens.max()) // 4)))
     if _resolve_engine(engine) == "pallas" and pallas_codec.fits_vmem(
         c * th * tw, wd
     ):
