@@ -126,7 +126,7 @@ def tpu_bench(images):
 
     def encode_once(tiles_ls):
         return pc._encode_tiles_pallas(
-            tiles_ls, *meta, t, c, W, cfg, False
+            tiles_ls, *meta, th, tw, c, W, cfg, False
         )
 
     # The tunneled platform can serve repeated identical executions from a
@@ -170,7 +170,7 @@ def tpu_bench(images):
     dec_inputs = [cols_of(wd_, b_) for (wd_, b_) in enc_results]
 
     def decode_once(cols):
-        return pc._decode_tiles_pallas(cols, *meta, t, c, cfg, False)
+        return pc._decode_tiles_pallas(cols, *meta, th, tw, c, cfg, False)
 
     bufs = decode_once(dec_inputs[0])
     _sync(bufs)  # warm/compile

@@ -64,21 +64,40 @@ def _interpret() -> bool:
     return not on_tpu()
 
 
-def fits_vmem(S: int, W: int) -> bool:
-    """Whether one 128-lane block of state fits the VMEM budget (the tile is
-    small enough for the fused kernels; callers fall back to XLA otherwise)."""
-    return 4 * (2 * (S + W) + 96) * 128 <= _VMEM_BUDGET
+@functools.lru_cache(maxsize=256)
+def _pick_chunk(t: int, target: int = 512) -> int:
+    """Largest divisor of the plane size <= target: the pixel walk is split
+    into S/SC grid steps so only an (SC, B) slice of the pixel data is VMEM-
+    resident at a time (per-lane coder state persists in scratch). SC | t
+    keeps each plane's raw preamble (pixels 0 and 1) inside one chunk."""
+    best = 1
+    for d in range(1, t + 1):
+        if t % d == 0 and d <= target:
+            best = d
+    return best
 
 
-def lane_block(S: int, W: int) -> int:
-    """Largest lane-block B (multiple of 128) fitting the VMEM budget.
+def kernel_plan(cfg: CodingConfig, th: int, tw: int, c: int, W: int):
+    """VMEM plan for the fused kernels: (SC, NR, B, n_chunks), or None when
+    even a 128-lane block cannot fit (callers fall back to the XLA engine).
 
-    Pallas double-buffers the pipelined input/output blocks (2x), while the
-    loop carries (k-table, window/accumulator state) are single-buffered."""
-    per_lane = 4 * (2 * (S + W) + 96)
+    Accounting: double-buffered pixel chunk + stream block, single-buffered
+    scratch (k-table, word ring, causal-neighbour ring, scalar state)."""
+    t = th * tw
+    sc = _pick_chunk(t)
+    nr = 1 << (2 * tw + 2 - 1).bit_length()  # pow2 ring covering 2*tw+2 rows
+    nbk = (int(cfg.max_context).bit_length() + 1) * cfg.num_k
+    nt_rows = -(-nbk // 8) * 8
+    # The per-chunk call's VMEM (scoped limit ~16 MB): pixel chunk in (2x
+    # pipelined), stream words in AND out (2x each), state arrays in AND out
+    # (2x each) — conservative so multi-lane-block grids never stack-OOM.
+    state = nt_rows + 8 + _RING + nr
+    per_lane = 4 * (2 * sc + 4 * W + 4 * state + 32)
     b = _VMEM_BUDGET // max(per_lane, 1)
     b = min(2048, (b // 128) * 128)
-    return max(128, b)
+    if b < 128:
+        return None
+    return sc, nr, b, (c * t) // sc
 
 
 @functools.lru_cache(maxsize=64)
@@ -103,18 +122,33 @@ def _shl(v, s):
     # clamp in int32 (Mosaic has no unsigned vector min), shift in uint32
     s = s.astype(jnp.int32)
     sc = jnp.minimum(jnp.maximum(s, 0), 31).astype(jnp.uint32)
-    return jnp.where(s < 32, v << sc, jnp.uint32(0))
+    return _selu(s < 32, v << sc, jnp.uint32(0))
 
 
 def _shr(v, s):
     s = s.astype(jnp.int32)
     sc = jnp.minimum(jnp.maximum(s, 0), 31).astype(jnp.uint32)
-    return jnp.where(s < 32, v >> sc, jnp.uint32(0))
+    return _selu(s < 32, v >> sc, jnp.uint32(0))
 
 
 def _bitlen(x):
     """bit_length for int32 x >= 0."""
     return jnp.where(x > 0, 32 - jax.lax.clz(x), 0)
+
+
+def _selu(pred, x, y):
+    """where() on uint32 operands via int32 bitcasts — Mosaic's jellyfish
+    lowering CHECK-fails on vector selects of unsigned ints in some dataflows
+    (layout.h arr.size() >= layout_rank), so every u32 select in the kernels
+    routes through here."""
+    bc = jax.lax.bitcast_convert_type
+    shp = jnp.broadcast_shapes(jnp.shape(pred), jnp.shape(x), jnp.shape(y))
+
+    def prep(v):
+        v = jnp.broadcast_to(v, shp)  # tpu.bitcast rejects scalars
+        return bc(v, jnp.int32) if v.dtype == jnp.uint32 else v
+
+    return bc(jnp.where(pred, prep(x), prep(y)).astype(jnp.int32), jnp.uint32)
 
 
 def _sum_u32(masked_i32, axis=0):
@@ -145,23 +179,45 @@ def _encode_kernel_body(
     row_b_ref,
     pre_w_ref,
     pre_sgn_ref,
+    ci_ref,
+    il_ref,
     vals_ref,
+    tab_in,
+    st_in,
+    ring_in,
+    nbr_in,
+    words_in,
+    tab_out,
+    st_out,
+    ring_out,
+    nbr_out,
     out_ref,
     lens_ref,
     *,
-    S: int,
+    SC: int,
     W: int,
     B: int,
     t: int,
     nb: int,
     K: int,
+    NR: int,
 ):
-    """One grid program: encode B tile streams of S pixels each."""
-    out_ref[:] = jnp.zeros_like(out_ref)
+    """One grid program: encode SC pixels of B tile streams. The host calls
+    this once per chunk (ci_ref = chunk index drives the vals block choice;
+    il_ref flags the last chunk); per-lane coder state arrives and leaves as
+    plain input/output arrays — Mosaic's layout assignment CHECK-fails on
+    values sourced from VMEM scratch, so no scratch is used at all."""
+    base = ci_ref[0] * SC
     R, G = _RING, _SPILL
     rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
-    bucket_rows = jax.lax.broadcasted_iota(jnp.int32, (nb * K, B), 0) // K
-    k_rows = jax.lax.broadcasted_iota(jnp.int32, (nb * K, B), 0) % K
+    NT = -(-(nb * K) // 8) * 8  # sublane-aligned k-table rows
+    trow = jax.lax.broadcasted_iota(jnp.int32, (NT, B), 0)
+    bucket_rows = jnp.where(trow < nb * K, trow // K, -1)  # pad rows inert
+    k_rows = trow % K
+
+    # Carry the stream block and neighbour ring through this chunk.
+    out_ref[:] = words_in[:]
+    nbr_out[:] = nbr_in[:]
 
     def spill(ring, spilled, need):
         """Move ring[0:G] of `need` lanes to out rows [spilled, spilled+G).
@@ -172,8 +228,8 @@ def _encode_kernel_body(
         for blk in range(W // G):
             sel = ((spilled == blk * G) & need)[None, :]
             cur = out_ref[blk * G : (blk + 1) * G, :]
-            out_ref[blk * G : (blk + 1) * G, :] = jnp.where(sel, half, cur)
-        ring = jnp.where(
+            out_ref[blk * G : (blk + 1) * G, :] = _selu(sel, half, cur)
+        ring = _selu(
             need[None, :],
             jnp.concatenate([ring[G:, :], jnp.zeros((G, B), jnp.uint32)]),
             ring,
@@ -196,35 +252,40 @@ def _encode_kernel_body(
         """Append per-lane (val, ln<=32 bits); emit full words into the ring
         at slot (wi - spilled) — a one-hot over only R rows."""
         acc0, acc1, nbits, wi, ring, spilled = state
-        val = jnp.where(ln > 0, val, jnp.uint32(0))
+        val = _selu(ln > 0, val, jnp.uint32(0))
         sh = 64 - nbits - ln  # >= 1 (nbits <= 31, ln <= 32)
-        hi = jnp.where(sh >= 32, _shl(val, sh - 32), _shr(val, 32 - sh))
-        lo = jnp.where(sh >= 32, jnp.uint32(0), _shl(val, sh))
+        hi = _selu(sh >= 32, _shl(val, sh - 32), _shr(val, 32 - sh))
+        lo = _selu(sh >= 32, jnp.uint32(0), _shl(val, sh))
         acc0 = acc0 | hi
         acc1 = acc1 | lo
         nbits = nbits + ln
         emit = nbits >= 32
         hit = (rows_r == (wi - spilled)[None, :]) & emit[None, :]
-        ring = ring | jnp.where(hit, acc0[None, :], jnp.uint32(0))
-        acc0 = jnp.where(emit, acc1, acc0)
-        acc1 = jnp.where(emit, jnp.uint32(0), acc1)
+        ring = ring | _selu(hit, acc0[None, :], jnp.uint32(0))
+        acc0 = _selu(emit, acc1, acc0)
+        acc1 = _selu(emit, jnp.uint32(0), acc1)
         wi = wi + emit.astype(jnp.int32)
         nbits = nbits - 32 * emit.astype(jnp.int32)
         return (acc0, acc1, nbits, wi, ring, spilled)
 
     def step(i, carry):
         table, state = carry
+        gi = base + i
+        # Every step publishes its pixel row to the causal-neighbour ring
+        # (rows at most 2*tw back are read; NR > 2*tw so slots never collide
+        # with still-needed rows).
+        nbr_out[gi & (NR - 1), :] = vals_ref[i, :]
         # Keep ring headroom for this step's <=2 unconditional emits (the
         # unary drain loop re-checks internally).
         acc0, acc1, nbits, wi, ring, spilled = state
         ring, spilled = maybe_spill(ring, spilled, wi)
         state = (acc0, acc1, nbits, wi, ring, spilled)
-        j = jmod_ref[i]
+        j = jmod_ref[gi]
 
         def preamble(table, state):
             # j == 0: depth-sized raw first two pixels (two's-complement
             # truncated for the signed Co/Cg planes); fresh k statistics.
-            w = pre_w_ref[i]
+            w = pre_w_ref[gi]
             maskv = ((1 << w) - 1)
             p0 = (vals_ref[i, :] & maskv).astype(jnp.uint32)
             p1 = (vals_ref[i + 1, :] & maskv).astype(jnp.uint32)
@@ -237,8 +298,8 @@ def _encode_kernel_body(
 
         def main(table, state):
             p = vals_ref[i, :]
-            va = vals_ref[row_a_ref[i], :]
-            vb = vals_ref[row_b_ref[i], :]
+            va = nbr_out[row_a_ref[gi] & (NR - 1), :]
+            vb = nbr_out[row_b_ref[gi] & (NR - 1), :]
             h = jnp.maximum(va, vb)
             l = jnp.minimum(va, vb)
             ctx = h - l
@@ -287,7 +348,7 @@ def _encode_kernel_body(
                 | _shl(_shr(jnp.uint32(0xFFFFFFFF), 32 - qs), blen)
                 | bv
             )
-            p1v = jnp.where(small, merged, a_val)
+            p1v = _selu(small, merged, a_val)
             p1l = jnp.where(small, total, a_len)
             state = append(state, p1v, p1l)
 
@@ -320,77 +381,124 @@ def _encode_kernel_body(
             jnp.minimum(j, 2), [preamble, skip, main], table, state
         )
 
-    table0 = jnp.zeros((nb * K, B), jnp.int32)
-    zeros_b = jnp.zeros((B,), jnp.int32)
+    # Resume per-lane coder state from the chunk inputs.
+    table0 = tab_in[:]
+    u32 = lambda row: jax.lax.bitcast_convert_type(st_in[row, :], jnp.uint32)
     state0 = (
-        jnp.zeros((B,), jnp.uint32),
-        jnp.zeros((B,), jnp.uint32),
-        zeros_b,
-        zeros_b,
-        jnp.zeros((R, B), jnp.uint32),
-        zeros_b,
+        u32(0),
+        u32(1),
+        st_in[2, :],
+        st_in[3, :],
+        jax.lax.bitcast_convert_type(ring_in[:], jnp.uint32),
+        st_in[4, :],
     )
-    _, (acc0, _, nbits, wi, ring, spilled) = jax.lax.fori_loop(
-        0, S, step, (table0, state0)
+    table, (acc0, acc1, nbits, wi, ring, spilled) = jax.lax.fori_loop(
+        0, SC, step, (table0, state0)
     )
 
-    bits = wi * 32 + nbits
-    # Flush the partial word into the ring (byte-align padding is the zero
-    # fill), then spill everything left.
-    hit = (rows_r == (wi - spilled)[None, :]) & (nbits > 0)[None, :]
-    ring = ring | jnp.where(hit, acc0[None, :], jnp.uint32(0))
-    end_words = wi + (nbits > 0).astype(jnp.int32)
-
-    def drain_cond(st):
-        return jnp.any(st[1] < end_words)
-
-    def drain_all(st):
-        ring, spilled = st
-        return spill(ring, spilled, spilled < end_words)
-
-    jax.lax.while_loop(drain_cond, drain_all, (ring, spilled))
+    tab_out[:] = table
+    st_out[:] = jnp.zeros_like(st_out)
+    st_out[0, :] = jax.lax.bitcast_convert_type(acc0, jnp.int32)
+    st_out[1, :] = jax.lax.bitcast_convert_type(acc1, jnp.int32)
+    st_out[2, :] = nbits
+    st_out[3, :] = wi
+    st_out[4, :] = spilled
+    ring_out[:] = jax.lax.bitcast_convert_type(ring, jnp.int32)
     lens_ref[:] = jnp.zeros_like(lens_ref)
-    lens_ref[0, :] = bits
+    lens_ref[0, :] = wi * 32 + nbits
+
+    @pl.when(il_ref[0] == 1)
+    def _():
+        # Flush the partial word into the ring (byte-align padding is the
+        # zero fill), then spill everything left.
+        hit = (rows_r == (wi - spilled)[None, :]) & (nbits > 0)[None, :]
+        ring2 = ring | _selu(hit, acc0[None, :], jnp.uint32(0))
+        end_words = wi + (nbits > 0).astype(jnp.int32)
+
+        def drain_cond(st):
+            return jnp.any(st[1] < end_words)
+
+        def drain_all(st):
+            ring2, spilled2 = st
+            return spill(ring2, spilled2, spilled2 < end_words)
+
+        jax.lax.while_loop(drain_cond, drain_all, (ring2, spilled))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "c", "W", "cfg", "interpret")
+    jax.jit, static_argnames=("th", "tw", "c", "W", "cfg", "interpret")
 )
 def _encode_tiles_pallas(
-    tiles_ls, jmod, row_a, row_b, pre_w, pre_sgn, t: int, c: int, W: int,
-    cfg: CodingConfig, interpret: bool,
+    tiles_ls, jmod, row_a, row_b, pre_w, pre_sgn, th: int, tw: int, c: int,
+    W: int, cfg: CodingConfig, interpret: bool,
 ):
     """tiles_ls: (L, S) int32 tile channel planes. Returns
-    (words (W, L) uint32, bits (L,) int32)."""
+    (words (W, L) uint32, bits (L,) int32).
+
+    One pallas_call per pixel chunk; the per-lane coder state (k-table,
+    bit accumulator, word ring, neighbour ring) threads through the calls as
+    plain arrays. The chunk index is a scalar-prefetch operand driving the
+    vals BlockSpec, so every call shares one compiled kernel."""
     L, S = tiles_ls.shape
+    t = th * tw
     nb = int(cfg.max_context).bit_length() + 1
     K = cfg.num_k
-    B = lane_block(S, W)
+    NT = -(-(nb * K) // 8) * 8
+    SC, NR, B, n_chunks = kernel_plan(cfg, th, tw, c, W)
     Lp = -(-L // B) * B
     vals = jnp.pad(tiles_ls, ((0, Lp - L), (0, 0))).T  # (S, Lp)
 
     kernel = functools.partial(
-        _encode_kernel_body, S=S, W=W, B=B, t=t, nb=nb, K=K
+        _encode_kernel_body,
+        SC=SC, W=W, B=B, t=t, nb=nb, K=K, NR=NR,
     )
-    words, lens = pl.pallas_call(
+    lane = lambda b, *_: (0, b)
+    chunk = lambda b, jm, ra, rb, pw, ps, ci, il: (ci[0], b)
+    state_specs = [
+        pl.BlockSpec((NT, B), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, B), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_RING, B), lane, memory_space=pltpu.VMEM),
+        pl.BlockSpec((NR, B), lane, memory_space=pltpu.VMEM),
+    ]
+    call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=7,
             grid=(Lp // B,),
             in_specs=[
-                pl.BlockSpec((S, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SC, B), chunk, memory_space=pltpu.VMEM),
+                *state_specs,
+                pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((W, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
+                *state_specs,
+                pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, B), lane, memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
+            jax.ShapeDtypeStruct((NT, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((8, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((_RING, Lp), jnp.int32),
+            jax.ShapeDtypeStruct((NR, Lp), jnp.int32),
             jax.ShapeDtypeStruct((W, Lp), jnp.uint32),
             jax.ShapeDtypeStruct((8, Lp), jnp.int32),
         ],
         interpret=interpret,
-    )(jmod, row_a, row_b, pre_w, pre_sgn, vals)
+    )
+    tab = jnp.zeros((NT, Lp), jnp.int32)
+    st = jnp.zeros((8, Lp), jnp.int32)
+    ring = jnp.zeros((_RING, Lp), jnp.int32)
+    nbr = jnp.zeros((NR, Lp), jnp.int32)
+    words = jnp.zeros((W, Lp), jnp.uint32)
+    lens = None
+    for ci in range(n_chunks):
+        ci_a = jnp.full((1,), ci, jnp.int32)
+        il_a = jnp.full((1,), 1 if ci == n_chunks - 1 else 0, jnp.int32)
+        tab, st, ring, nbr, words, lens = call(
+            jmod, row_a, row_b, pre_w, pre_sgn, ci_a, il_a,
+            vals, tab, st, ring, nbr, words,
+        )
     return words[:, :L].T, lens[0, :L]
 
 
@@ -409,7 +517,8 @@ def encode_tiles(
     return _encode_tiles_pallas(
         tiles_ls,
         *(jnp.asarray(m) for m in meta),
-        t,
+        th,
+        tw,
         c,
         W,
         cfg,
@@ -465,6 +574,20 @@ def encode_width_bound(cfg: CodingConfig, t: int, c: int) -> int:
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
+
+
+def decode_fits(S: int, W: int) -> bool:
+    """Whether the non-chunked decode kernel fits VMEM at B=128."""
+    return 4 * (2 * (S + W) + 96) * 128 <= _VMEM_BUDGET
+
+
+def _lane_block_full(S: int, W: int) -> int:
+    """Lane block for the non-chunked decode kernel: the full (S, B) output
+    and (W, B) stream block are VMEM-resident (double-buffered)."""
+    per_lane = 4 * (2 * (S + W) + 96)
+    b = _VMEM_BUDGET // max(per_lane, 1)
+    b = min(2048, (b // 128) * 128)
+    return max(128, b)
 
 
 def _decode_kernel_body(
@@ -743,18 +866,19 @@ def _decode_kernel_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t", "c", "cfg", "interpret")
+    jax.jit, static_argnames=("th", "tw", "c", "cfg", "interpret")
 )
 def _decode_tiles_pallas(
-    cols_lw, jmod, row_a, row_b, pre_w, pre_sgn, t: int, c: int,
+    cols_lw, jmod, row_a, row_b, pre_w, pre_sgn, th: int, tw: int, c: int,
     cfg: CodingConfig, interpret: bool,
 ):
     """cols_lw: (L, W) uint32 per-tile stream words. Returns (L, S) int32."""
     L, W = cols_lw.shape
+    t = th * tw
     S = c * t
     nb = int(cfg.max_context).bit_length() + 1
     K = cfg.num_k
-    B = lane_block(S, W)
+    B = _lane_block_full(S, W)
     Lp = -(-L // B) * B
     cols = jnp.pad(cols_lw, ((0, Lp - L), (0, 0))).T  # (W, Lp)
 
@@ -795,7 +919,8 @@ def decode_tiles(
     out = _decode_tiles_pallas(
         cols_lw,
         *(jnp.asarray(m) for m in meta),
-        t,
+        th,
+        tw,
         c,
         cfg,
         _interpret(),

@@ -306,15 +306,15 @@ def compress_tiled_bytes(
     from felics_tpu.ops import pallas_codec
 
     wcap = pallas_codec.encode_width_bound(cfg, t, c)
-    if _resolve_engine(engine) == "pallas" and pallas_codec.fits_vmem(
-        c * t, min(wcap, pallas_codec.width_hint(cfg, t, c))
+    if _resolve_engine(engine) == "pallas" and pallas_codec.kernel_plan(
+        cfg, th, tw, c, min(wcap, pallas_codec.width_hint(cfg, t, c))
     ):
         # Tight self-tuned capacity first; retry at the pessimistic bound on
         # overflow (detected exactly: the kernel reports true bit lengths).
         for wtry in dict.fromkeys(
             [pallas_codec.width_hint(cfg, t, c), wcap]
         ):
-            if not pallas_codec.fits_vmem(c * t, wtry):
+            if not pallas_codec.kernel_plan(cfg, th, tw, c, wtry):
                 break
             words, bits = pallas_codec.encode_tiles(tiles_np, cfg, th, tw, wtry)
             bits_np = np.asarray(bits).astype(np.int64)
@@ -610,7 +610,7 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
 
     lens = header.tile_lengths.astype(np.int64)
     wd = pallas_codec.bucket_words(int(-(-(lens.max()) // 4)))
-    if _resolve_engine(engine) == "pallas" and pallas_codec.fits_vmem(
+    if _resolve_engine(engine) == "pallas" and pallas_codec.decode_fits(
         c * th * tw, wd
     ):
         starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
