@@ -5,17 +5,26 @@ Why these exist: the XLA formulation of the per-tile sequential coding loop
 op inside ``lax.scan`` and serializes gathers/scatters per element on TPU —
 measured ~150 us per decode step and ~60 ms for the scatter bit-packer on a
 3072-tile batch. These kernels fuse the ENTIRE per-tile walk (context model,
-adaptive-k table, phase-in/Rice coding, and the bit writer/reader) into one
-Mosaic program each, with all state resident in VMEM:
+adaptive-k table, phase-in/Rice coding, and the bit writer/reader) into
+Mosaic programs, with all state resident in VMEM:
 
   * lanes = tiles (vector dimension): every tile's stream advances one pixel
     per ``fori_loop`` step, so the irreducibly sequential dependency chain
     runs in parallel across thousands of tiles;
-  * the bitstream is per-lane COLUMNS of 32-bit words; emitting/fetching a
-    word at a per-lane word index is a gather/scatter-free one-hot
-    masked-sum over the (W, B) column block — dense VPU work;
-  * the adaptive-k estimator is a (num_buckets * num_k, B) carry updated with
-    one masked add per step, replacing the kscan cumsum pass entirely.
+  * the bitstream is per-lane COLUMNS of 32-bit words; a 32-word shift ring
+    buffers word emits/fetches (a one-hot over only the ring rows), and
+    ring<->stream traffic moves 16 words at a time through block-aligned
+    selects — no gathers, no scatters, no per-step W-wide sweeps;
+  * the adaptive-k estimator is a (num_buckets * num_k, B) carry updated
+    with one masked add per step, replacing the kscan cumsum pass entirely;
+  * the encoder walks pixels in chunks, one pallas_call per chunk, with the
+    coder state threading between calls as plain arrays (the chunk index is
+    a scalar-prefetch operand selecting the pixel block), so only an
+    (SC, B) pixel slice occupies VMEM and the lane block B stays large.
+
+Mosaic/toolchain pitfalls encountered and worked around here are catalogued
+in docs/DESIGN.md §8 (unsigned reductions/min/selects, i1 while carries,
+scratch-sourced loop carries, the ~16 MB scoped VMEM limit).
 
 The bitstreams produced/consumed are byte-identical to the XLA pipeline
 (ops.analysis symbolize + ops.bitpack) and to the native C++ FLCT codec —
