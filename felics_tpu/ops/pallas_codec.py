@@ -732,20 +732,34 @@ def _decode_kernel_body(
             in_value = xsum - jnp.where(xsum >= nn, nn, 0) + l
             in_pos = pos + 1 + jnp.where(short, m, m + 1)
 
-            # out-of-range: marker bit 2, unary quotient, k-bit remainder
+            # out-of-range: marker bit 2, unary quotient, k-bit remainder.
+            # Fast path counts the run across the full 64-bit window (up to
+            # 61-k bits): runs past ~30 bits are common on smooth content
+            # where k adapts to 0, and with thousands of lanes ANY lane in
+            # the slow loop drags the whole step through full-width fetches.
             above_bit = ((win0 >> 30) & 1).astype(jnp.int32)
-            u_win = _shl(win0, jnp.int32(2)) | _shr(win1, jnp.int32(30))
-            inv = (~u_win) & jnp.uint32(0xFFFFFFFF)
-            lead = jnp.where(inv == 0, 32, jax.lax.clz(inv)).astype(jnp.int32)
-            overrun = lead >= 30
+            u1 = win0 << jnp.uint32(2)  # bits [2, 32) + two trailing zeros
+            iv1 = (~u1) & jnp.uint32(0xFFFFFFFF)  # never 0: low bits set
+            ones1 = jax.lax.clz(
+                jax.lax.bitcast_convert_type(iv1, jnp.int32)
+            ).astype(jnp.int32)
+            iv2 = (~win1) & jnp.uint32(0xFFFFFFFF)
+            ones2 = jnp.where(
+                iv2 == 0,
+                32,
+                jax.lax.clz(jax.lax.bitcast_convert_type(iv2, jnp.int32)),
+            ).astype(jnp.int32)
+            lead = ones1 + jnp.where(ones1 == 30, ones2, 0)
+            # terminator + k remainder bits must stay inside the window
+            overrun = lead > 61 - k
             bit_limit = jnp.int32(W * 32)
 
             def any_active(st):
                 # done carried as int32: Mosaic cannot yield i1 vectors
-                return jnp.any(st[3] == 0)
+                return jnp.any(st[2] == 0)
 
             def scan_on(st):
-                q2, p2, rem2, done_i = st
+                q2, p2, done_i = st
                 done = done_i != 0
                 wp2 = p2 >> 5
                 o2 = (p2 & 31).astype(jnp.uint32)
@@ -759,41 +773,39 @@ def _decode_kernel_body(
                 ld = jnp.where(done, 0, ld)
                 fin = done | (ld < 32) | (p2 >= bit_limit)
                 newly = fin & ~done
-                # remainder for the newly finished lanes sits past the
-                # terminator at p2 + ld + 1
-                p3 = p2 + ld + 1
-                wp3 = p3 >> 5
-                o3 = (p3 & 31).astype(jnp.uint32)
-                ra = fetch(wp3)
-                rb = fetch(wp3 + 1)
-                rwin = (ra << o3) | jnp.where(
-                    o3 > 0, rb >> (jnp.uint32(32) - o3), jnp.uint32(0)
-                )
-                rem2 = jnp.where(
-                    newly,
-                    _shr(rwin, 32 - k).astype(jnp.int32),
-                    rem2,
-                )
                 return (
                     q2 + ld,
                     jnp.where(newly, p2 + ld + 1, p2 + ld),
-                    rem2,
                     fin.astype(jnp.int32),
                 )
 
             def slow(args):
-                return jax.lax.while_loop(
-                    any_active,
-                    scan_on,
-                    args,
+                q2, p2, done_i = jax.lax.while_loop(
+                    any_active, scan_on, args
                 )
+                # ONE remainder read after the loop (p2 sits past the
+                # terminator for every lane) — reading it per iteration
+                # doubled the slow loop's full-width fetches. (A ring-read
+                # slow loop was tried and MISCOMPILES on this toolchain:
+                # nested while/cond with ring threading decodes wrong.)
+                o3 = (p2 & 31).astype(jnp.uint32)
+                ra = fetch(p2 >> 5)
+                rb = fetch((p2 >> 5) + 1)
+                rwin = (ra << o3) | jnp.where(
+                    o3 > 0, rb >> (jnp.uint32(32) - o3), jnp.uint32(0)
+                )
+                return q2, p2, _shr(rwin, 32 - k).astype(jnp.int32)
+
+            def no_slow(args):
+                q2, p2, _ = args
+                return q2, p2, jnp.zeros((B,), jnp.int32)
 
             init = (jnp.zeros((B,), jnp.int32), pos + 2,
-                    jnp.zeros((B,), jnp.int32),
                     (~overrun).astype(jnp.int32))
-            q2, p2, rem_slow, _ = jax.lax.cond(
-                jnp.any(overrun), slow, lambda a: a, init
+            q2, p2, rem_slow = jax.lax.cond(
+                jnp.any(overrun), slow, no_slow, init
             )
+            ring_u, rbase_u = ring, rbase
             uq = jnp.where(overrun, q2, lead)
             pos_u = jnp.where(overrun, p2, pos + 2 + lead + 1)
             rem_fast = window_bits(pos_u - pos, k).astype(jnp.int32)
@@ -813,9 +825,15 @@ def _decode_kernel_body(
             upd = match & (~is_in)[None, :]
             add = jnp.where(upd, (encoded[None, :] >> k_rows) + 1 + k_rows, 0)
             table = table + add
-            return table, new_pos, value
+            return table, new_pos, value, ring_u, rbase_u
 
-        table, new_pos, value = jax.lax.cond(j < 2, preamble, main, table, pos)
+        def preamble_r(table, pos):
+            table, new_pos, value = preamble(table, pos)
+            return table, new_pos, value, ring, rbase
+
+        table, new_pos, value, ring, rbase = jax.lax.cond(
+            j < 2, preamble_r, main, table, pos
+        )
         out_ref[i, :] = value
 
         # Advance the 96-bit window to the new cursor word (ring reads; the
