@@ -65,15 +65,17 @@ def native_baseline(images):
     pixels = sum(im.size for im in images)
     # warm
     compress_image_bytes(images[0], backend="native")
-    t0 = time.perf_counter()
-    blobs = [compress_image_bytes(im, backend="native") for im in images]
-    t1 = time.perf_counter()
-    outs = [decompress_image_bytes(b, backend="native") for b in blobs]
-    t2 = time.perf_counter()
-    for im, out in zip(images, outs):
-        assert np.array_equal(im, out)
-    enc, dec = t1 - t0, t2 - t1
-    return 2 * pixels / (enc + dec) / 1e6, blobs
+    best = None
+    for _ in range(3):  # best-of-3: host timing noise swings the ratio
+        t0 = time.perf_counter()
+        blobs = [compress_image_bytes(im, backend="native") for im in images]
+        t1 = time.perf_counter()
+        outs = [decompress_image_bytes(b, backend="native") for b in blobs]
+        t2 = time.perf_counter()
+        for im, out in zip(images, outs):
+            assert np.array_equal(im, out)
+        best = min(best, (t1 - t0) + (t2 - t1)) if best else (t2 - t0)
+    return 2 * pixels / best / 1e6, blobs
 
 
 def tpu_bench(images):
@@ -131,8 +133,10 @@ def tpu_bench(images):
 
     # The tunneled platform can serve repeated identical executions from a
     # cache, so every timed iteration uses a distinct input (one pixel
-    # nudged) and syncs by fetching from the result.
-    iters = 3
+    # nudged) and syncs by fetching from the result. Per-iteration times are
+    # reduced with min: the tunnel adds heavy-tailed RTT noise, and the
+    # fastest observation is the cleanest estimate of device time.
+    iters = 5
     variants = []
     for i in range(iters + 1):
         v = tiles_np.copy()
@@ -140,13 +144,15 @@ def tpu_bench(images):
         variants.append(jnp.asarray(v.reshape(n_tiles, c * t)))
     words, bits = encode_once(variants[0])  # warm/compile
     _sync(bits)
-    t0 = time.perf_counter()
     enc_results = []
+    enc_times = []
     for i in range(1, iters + 1):
+        t0 = time.perf_counter()
         r = encode_once(variants[i])
         _sync(r[1])
+        enc_times.append(time.perf_counter() - t0)
         enc_results.append(r)
-    t_enc = max(1e-9, (time.perf_counter() - t0) / iters - rtt)
+    t_enc = max(1e-9, min(enc_times) - rtt)
     words, bits = enc_results[-1]
 
     bits_np = np.asarray(bits).astype(np.int64)
@@ -174,11 +180,13 @@ def tpu_bench(images):
 
     bufs = decode_once(dec_inputs[0])
     _sync(bufs)  # warm/compile
-    t0 = time.perf_counter()
+    dec_times = []
     for cols in dec_inputs:
+        t0 = time.perf_counter()
         bufs = decode_once(cols)
         _sync(bufs)
-    t_dec = max(1e-9, (time.perf_counter() - t0) / len(dec_inputs) - rtt)
+        dec_times.append(time.perf_counter() - t0)
+    t_dec = max(1e-9, min(dec_times) - rtt)
 
     # Correctness: decoded tiles match the (last variant) input exactly.
     decoded = np.asarray(bufs).reshape(tiles_np.shape)
