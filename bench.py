@@ -26,7 +26,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 SUITE = "/root/reference/image-suite/grayscale/8bit"
-TILE = 64  # within 1% of single-stream FLCS size (docs/DESIGN.md)
+TILE = 32  # within 1% of single-stream FLCS size (docs/DESIGN.md); 32px
+# tiles quadruple the lane count vs 64px at ~0.8% ratio cost and measure
+# ~2x faster on chip (see docs/DESIGN.md §7)
 MAX_IMAGES = 12
 
 

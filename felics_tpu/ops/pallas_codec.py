@@ -750,8 +750,14 @@ def _decode_kernel_body(
                 jax.lax.clz(jax.lax.bitcast_convert_type(iv2, jnp.int32)),
             ).astype(jnp.int32)
             lead = ones1 + jnp.where(ones1 == 30, ones2, 0)
-            # terminator + k remainder bits must stay inside the window
-            overrun = lead > 61 - k
+            # terminator + k remainder bits must stay inside the window.
+            # Gate on the marker bit: for IN-RANGE lanes the "unary run" read
+            # from the window is meaningless (their phase-in payload is often
+            # all-ones on smooth content — e.g. ctx 0 emits a bare '1' marker
+            # per pixel), and letting them flag overrun drags the whole lane
+            # block through the full-width slow loop on nearly every step
+            # (measured 16x decode blowup on a smooth corpus image).
+            overrun = (first == 0) & (lead > 61 - k)
             bit_limit = jnp.int32(W * 32)
 
             def any_active(st):
