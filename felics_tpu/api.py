@@ -10,10 +10,15 @@ appropriately-typed array.
 Backends:
   * ``"oracle"`` — sequential pure-Python codec (correctness oracle).
   * ``"native"`` — the C++ runtime core (fast sequential, default when built).
-  * ``"jax"``    — the vectorized TPU encoder (encode only; single-stream
-                   decode is irreducibly serial and routes to native/oracle).
-  * ``"auto"``   — native if available, else oracle; jax for encode when a
-                   TPU/accelerator backend is initialized.
+  * ``"jax"``    — the vectorized XLA/TPU FLCS encoder plus the batched
+                   amortized path (core.jax_codec; single-stream decode is
+                   irreducibly serial and stays a lax.scan oracle there).
+  * ``"auto"``   — native if built, else oracle, for BOTH directions. The
+                   jax FLCS path is never auto-selected for one-off images:
+                   a single-stream encode pays host round-trips that dwarf
+                   the device time at FLCS sizes (use ``"jax"`` explicitly,
+                   or the batched ``compress_images_bytes``, or the FLCT
+                   container, which is TPU-parallel end to end).
 """
 
 from __future__ import annotations

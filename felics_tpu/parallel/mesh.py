@@ -155,7 +155,7 @@ def decode_tiled_sharded(data: bytes, mesh: Mesh, axis: str = "tiles") -> np.nda
     # vmap batch when inputs carry shardings. For explicitness we device_put
     # the tile starts sharded and the words replicated.
     header = tiling.read_tiled_header(data)
-    if header.n_tiles == 0 or header.n_tiles % mesh.devices.size != 0:
+    if header.n_tiles == 0:
         return tiling.decompress_tiled_bytes(data)
     # Reuse the single-device implementation but with sharded inputs.
     import felics_tpu.parallel.tiling as t
@@ -177,10 +177,18 @@ def decode_tiled_sharded(data: bytes, mesh: Mesh, axis: str = "tiles") -> np.nda
     )
     words = jax.device_put(words, NamedSharding(mesh, P(None)))
     starts = np.concatenate([[0], np.cumsum(header.tile_lengths)[:-1]]) * 8
+    # Pad the tile axis to the mesh size (mirror of encode_tiled_sharded):
+    # padding lanes re-decode tile 0 and are sliced away after the scan.
+    n_dev = mesh.devices.size
+    pad_tiles = (-header.n_tiles) % n_dev
+    if pad_tiles:
+        starts = np.concatenate([starts, np.full(pad_tiles, starts[0])])
     starts = jax.device_put(
         jnp.asarray(starts, jnp.int32), NamedSharding(mesh, P(axis))
     )
     bufs = t._decode_tiles(words, starts, th, tw, c, cfg, nb)
+    if pad_tiles:
+        bufs = bufs[: header.n_tiles]
     depth_max = 255 if int(header.pixel_depth) == 0 else 65535
     out, valid = t._assemble_image(bufs, th, tw, c, ty, tx, h, w, depth_max)
     if not bool(valid):

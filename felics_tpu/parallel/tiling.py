@@ -276,6 +276,29 @@ def _resolve_engine(engine: str) -> str:
     return engine
 
 
+_pallas_disabled: set = set()
+
+
+def _pallas_usable(kind: str, key: tuple) -> bool:
+    """False once a Mosaic compile/run failure was seen for this shape key."""
+    return (kind, key) not in _pallas_disabled
+
+
+def _disable_pallas(kind: str, key: tuple, exc: Exception) -> None:
+    """Record a Mosaic failure and warn once: the shape falls back to the
+    XLA engine for the rest of the process (same bytes, slower)."""
+    import warnings
+
+    _pallas_disabled.add((kind, key))
+    warnings.warn(
+        f"felics_tpu: pallas {kind} kernel failed for shape {key} "
+        f"({type(exc).__name__}: {str(exc)[:200]}); falling back to the XLA "
+        "engine for this shape",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def compress_tiled_bytes(
     image: np.ndarray,
     tile: Optional[TileConfig] = None,
@@ -306,8 +329,13 @@ def compress_tiled_bytes(
     from felics_tpu.ops import pallas_codec
 
     wcap = pallas_codec.encode_width_bound(cfg, t, c)
-    if _resolve_engine(engine) == "pallas" and pallas_codec.kernel_plan(
-        cfg, th, tw, c, min(wcap, pallas_codec.width_hint(cfg, t, c))
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if (
+        _resolve_engine(engine) == "pallas"
+        and _pallas_usable("encode", enc_key)
+        and pallas_codec.kernel_plan(
+            cfg, th, tw, c, min(wcap, pallas_codec.width_hint(cfg, t, c))
+        )
     ):
         # Tight self-tuned capacity first; retry at the pessimistic bound on
         # overflow (detected exactly: the kernel reports true bit lengths).
@@ -316,8 +344,16 @@ def compress_tiled_bytes(
         ):
             if not pallas_codec.kernel_plan(cfg, th, tw, c, wtry):
                 break
-            words, bits = pallas_codec.encode_tiles(tiles_np, cfg, th, tw, wtry)
-            bits_np = np.asarray(bits).astype(np.int64)
+            try:
+                words, bits = pallas_codec.encode_tiles(
+                    tiles_np, cfg, th, tw, wtry
+                )
+                bits_np = np.asarray(bits).astype(np.int64)
+            except Exception as e:  # Mosaic compile/run failure -> XLA
+                if engine == "pallas":
+                    raise
+                _disable_pallas("encode", enc_key, e)
+                break
             max_bits = int(bits_np.max())
             if max_bits > wtry * 32:
                 continue
@@ -610,13 +646,22 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
 
     lens = header.tile_lengths.astype(np.int64)
     wd = pallas_codec.bucket_words(int(-(-(lens.max()) // 4)))
-    if _resolve_engine(engine) == "pallas" and pallas_codec.decode_fits(
-        c * th * tw, wd
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    bufs = None
+    if (
+        _resolve_engine(engine) == "pallas"
+        and _pallas_usable("decode", dec_key)
+        and pallas_codec.decode_fits(c * th * tw, wd)
     ):
         starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
         cols = _payload_to_columns(payload[:expected], starts_b, lens, wd)
-        bufs = pallas_codec.decode_tiles(jnp.asarray(cols), cfg, th, tw, c)
-    else:
+        try:
+            bufs = pallas_codec.decode_tiles(jnp.asarray(cols), cfg, th, tw, c)
+        except Exception as e:  # Mosaic compile/run failure -> XLA
+            if engine == "pallas":
+                raise
+            _disable_pallas("decode", dec_key, e)
+    if bufs is None:
         arr = np.frombuffer(payload, dtype=np.uint8)
         pad = (-len(arr)) % 4
         if pad:

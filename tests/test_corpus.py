@@ -1,9 +1,10 @@
 """Corpus round-trip test, mirroring the reference's tests/compress.rs:73-103.
 
 Walks the reference image suite, round-trips every image through the native
-backend, asserts exact equality, and prints per-folder compress/decompress
-wall time and compressed size. By default a fixed subset per folder keeps CI
-fast; set FELICS_TPU_FULL_CORPUS=1 for the full 146-image sweep.
+backend, asserts exact equality against the reference's PUBLISHED corpus
+totals (the parity oracle), and prints per-folder compress/decompress wall
+time and compressed size. The full 146-image sweep runs BY DEFAULT (it costs
+~11 s); set FELICS_TPU_FULL_CORPUS=0 to run a fixed subset per folder.
 """
 
 import os
@@ -17,7 +18,7 @@ from felics_tpu.io.images import load_image
 
 SUITE = "/root/reference/image-suite"
 FOLDERS = ["grayscale/8bit", "grayscale/16bit", "rgb/8bit"]
-FULL = os.environ.get("FELICS_TPU_FULL_CORPUS") == "1"
+FULL = os.environ.get("FELICS_TPU_FULL_CORPUS", "1") != "0"
 PER_FOLDER = None if FULL else 6
 
 
@@ -38,10 +39,22 @@ def built_native():
 # shipped Rust encoder compresses the 8-bit grayscale suite to 8,529,509
 # bytes and the 16-bit suite to 7,543,288 bytes. Our FLCS encoder reproduces
 # both EXACTLY — byte-level proof of bit-exact parity with the reference.
+# RGB has no published total; its 55,584,896-byte total and the per-file
+# SHA-256 digests (tests/golden/corpus_digests.json) lock the encoder
+# against regressions (any one-bit change fails here by default).
 PUBLISHED_TOTALS = {
     "grayscale/8bit": 8_529_509,
     "grayscale/16bit": 7_543_288,
+    "rgb/8bit": 55_584_896,
 }
+
+
+def _golden_digests():
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "corpus_digests.json")
+    with open(path) as f:
+        return json.load(f)["files"]
 
 
 @pytest.mark.skipif(not os.path.isdir(SUITE), reason="corpus not mounted")
@@ -54,6 +67,9 @@ def test_corpus_round_trip(folder):
     assert files
     total_raw = total_compressed = 0
     ctime = dtime = 0.0
+    golden = _golden_digests()
+    import hashlib
+
     for name in files:
         image = load_image(os.path.join(root, name))
         t0 = time.perf_counter()
@@ -63,6 +79,11 @@ def test_corpus_round_trip(folder):
         t2 = time.perf_counter()
         np.testing.assert_array_equal(out, image, err_msg=name)
         assert out.dtype == image.dtype
+        entry = golden[f"{folder}/{name}"]
+        assert hashlib.sha256(data).hexdigest() == entry["sha256"], (
+            f"{folder}/{name}: FLCS bytes diverge from the committed golden "
+            "digest — the encoder regressed"
+        )
         total_raw += image.nbytes
         total_compressed += len(data)
         ctime += t1 - t0
