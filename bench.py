@@ -26,9 +26,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 SUITE = "/root/reference/image-suite/grayscale/8bit"
-TILE = 32  # within 1% of single-stream FLCS size (docs/DESIGN.md); 32px
-# tiles quadruple the lane count vs 64px at ~0.8% ratio cost and measure
-# ~2x faster on chip (see docs/DESIGN.md §7)
+TILE = 32  # 32px tiles quadruple the lane count vs 64px and measure ~2x
+# faster on chip; ratio cost vs single-stream FLCS is measured per run and
+# reported in the metric string (docs/DESIGN.md §4 has the corpus numbers)
 MAX_IMAGES = 12
 
 
@@ -67,8 +67,11 @@ def native_baseline(images):
     pixels = sum(im.size for im in images)
     # warm
     compress_image_bytes(images[0], backend="native")
-    best = None
-    for _ in range(3):  # best-of-3: host timing noise swings the ratio
+    # best-of-3, per-phase minima: the SAME reduction the TPU side uses
+    # (min over encode iterations + min over decode iterations), so the
+    # vs_baseline ratio is not biased by an asymmetric reduction.
+    best_enc = best_dec = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
         blobs = [compress_image_bytes(im, backend="native") for im in images]
         t1 = time.perf_counter()
@@ -76,8 +79,9 @@ def native_baseline(images):
         t2 = time.perf_counter()
         for im, out in zip(images, outs):
             assert np.array_equal(im, out)
-        best = min(best, (t1 - t0) + (t2 - t1)) if best else (t2 - t0)
-    return 2 * pixels / best / 1e6, blobs
+        best_enc = min(best_enc, t1 - t0)
+        best_dec = min(best_dec, t2 - t1)
+    return 2 * pixels / (best_enc + best_dec) / 1e6, blobs
 
 
 def tpu_bench(images):
@@ -115,7 +119,9 @@ def tpu_bench(images):
 
     from felics_tpu.utils.timing import _sync, fetch_rtt
 
-    rtt = fetch_rtt()
+    # min-of-N timings pair with the min RTT sample (subtracting the median
+    # RTT from the fastest observation would overcorrect — ADVICE.md r1).
+    rtt = fetch_rtt(reduce="min")
 
     # Container-level warm pass: full bytes round-trip through the fused
     # Pallas engine (also records the self-tuned stream-width hint).
@@ -144,8 +150,8 @@ def tpu_bench(images):
         v = tiles_np.copy()
         v[0, 0, 2] = (v[0, 0, 2] + i) % 255
         variants.append(jnp.asarray(v.reshape(n_tiles, c * t)))
-    words, bits = encode_once(variants[0])  # warm/compile
-    _sync(bits)
+    warm_words, warm_bits = encode_once(variants[0])  # warm/compile
+    _sync(warm_bits)
     enc_results = []
     enc_times = []
     for i in range(1, iters + 1):
@@ -164,10 +170,9 @@ def tpu_bench(images):
 
     # Decode inputs: per-tile word columns (as the container decoder builds
     # from the payload; here taken from the encoder output, tails zeroed).
-    def cols_of(words, bits):
+    def cols_of(words, bits, wd):
         wn = np.asarray(words)
         bn = np.asarray(bits).astype(np.int64)
-        wd = pc.bucket_words(int((bn.max() + 31) // 32))
         nw = np.minimum((bn + 31) // 32, wd)
         keep = np.arange(wd, dtype=np.int64)[None, :] < nw[:, None]
         cols = np.where(keep, wn[:, :wd], 0).astype(np.uint32)
@@ -175,13 +180,22 @@ def tpu_bench(images):
         # already zero: the encoder flushes zero-padded partial words.
         return jnp.asarray(cols)
 
-    dec_inputs = [cols_of(wd_, b_) for (wd_, b_) in enc_results]
+    # One shared word width for warm + timed decode inputs: a single
+    # compiled decode kernel serves every iteration.
+    all_bits = [warm_bits] + [b_ for (_, b_) in enc_results]
+    wd = pc.bucket_words(
+        int(max(np.asarray(b_).max() for b_ in all_bits) + 31) // 32
+    )
+    dec_inputs = [cols_of(w_, b_, wd) for (w_, b_) in enc_results]
 
     def decode_once(cols):
         return pc._decode_tiles_pallas(cols, *meta, th, tw, c, cfg, False)
 
-    bufs = decode_once(dec_inputs[0])
-    _sync(bufs)  # warm/compile
+    # Warm/compile on a DISTINCT input (the variants[0] warm-encode result):
+    # the tunneled platform can serve repeated identical executions from a
+    # cache, so no timed iteration may reuse the warm-up's input.
+    bufs = decode_once(cols_of(warm_words, warm_bits, wd))
+    _sync(bufs)
     dec_times = []
     for cols in dec_inputs:
         t0 = time.perf_counter()

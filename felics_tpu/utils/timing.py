@@ -15,7 +15,7 @@ from typing import Callable, Tuple
 import jax
 import numpy as np
 
-_rtt_cache = None
+_rtt_samples = None
 
 
 def _sync(result) -> None:
@@ -29,23 +29,30 @@ def _sync(result) -> None:
         return  # one leaf is enough: jit outputs complete together
 
 
-def fetch_rtt() -> float:
-    """Round-trip cost of a trivial dispatch + 1-element fetch, seconds."""
-    global _rtt_cache
-    if _rtt_cache is not None:
-        return _rtt_cache
-    import jax.numpy as jnp
+def fetch_rtt(reduce: str = "median") -> float:
+    """Round-trip cost of a trivial dispatch + 1-element fetch, seconds.
 
-    x = jnp.zeros((8, 128), jnp.int32)
-    f = jax.jit(lambda x, s: x + s)
-    _sync(f(x, 0))
-    samples = []
-    for i in range(1, 6):
-        t0 = time.perf_counter()
-        _sync(f(x, i))
-        samples.append(time.perf_counter() - t0)
-    _rtt_cache = float(np.median(samples))
-    return _rtt_cache
+    ``reduce="median"`` pairs with median timings; ``reduce="min"`` is the
+    right (conservative) correction when pairing with min-of-N timings —
+    the fastest timed sample likely also had a below-median RTT, and
+    subtracting the median there would overcorrect.
+    """
+    global _rtt_samples
+    if _rtt_samples is None:
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8, 128), jnp.int32)
+        f = jax.jit(lambda x, s: x + s)
+        _sync(f(x, 0))
+        samples = []
+        for i in range(1, 8):
+            t0 = time.perf_counter()
+            _sync(f(x, i))
+            samples.append(time.perf_counter() - t0)
+        _rtt_samples = samples
+    if reduce == "min":
+        return float(np.min(_rtt_samples))
+    return float(np.median(_rtt_samples))
 
 
 def timed(f: Callable, iters: int = 3, warmup: int = 1) -> float:
