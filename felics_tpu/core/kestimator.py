@@ -32,12 +32,19 @@ class KEstimator:
         max_context: int,
         k_values: Sequence[int],
         halve_at: Optional[int],
+        prior: Optional[np.ndarray] = None,
     ) -> None:
+        """``prior``: (rows, len(k_values)) seed added to the first ``rows``
+        contexts' tables at init (the FLCT-v2 per-image k-prior; contexts are
+        buckets there). None = all-zero init (FLCS / FLCT v0)."""
         if len(k_values) == 0:
             raise ValueError("the list of k values is empty")
         self.max_context = max_context
         self.k_values = np.asarray(k_values, dtype=np.int64)
         self.table = np.zeros((max_context + 1, len(k_values)), dtype=np.int64)
+        if prior is not None:
+            prior = np.asarray(prior, dtype=np.int64)
+            self.table[: prior.shape[0]] = prior
         self.halve_at = halve_at
 
     def update(self, context: int, encoded: int) -> None:

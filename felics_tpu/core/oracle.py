@@ -48,12 +48,14 @@ def compress_channel(
     bitwriter: BitWriter,
     bucketed_k: bool = False,
     pre_bits: int = 32,
+    prior=None,
 ) -> None:
     """``bucketed_k``: index the k-estimator by bit_length(context) instead of
     the exact context — the FLCT tiled format's rule (see
     felics_tpu.ops.kscan_tiled); FLCS uses the exact context. ``pre_bits``:
     raw preamble width (32 for FLCS; depth(+1 for signed Co/Cg planes) for
-    FLCT, two's-complement truncated)."""
+    FLCT, two's-complement truncated). ``prior``: (nb, K) k-table seed for
+    the FLCT-v2 per-image k-prior (bucketed_k mode only); None = zeros."""
     channel = np.asarray(channel, dtype=np.int64)
     total = width * height
     if total > channel.size:
@@ -72,7 +74,9 @@ def compress_channel(
     bitwriter.write(pre_bits, int(channel[0]) & mask)
     bitwriter.write(pre_bits, int(channel[1]) & mask)
 
-    estimator = KEstimator(config.max_context, config.k_values, config.count_scaling)
+    estimator = KEstimator(
+        config.max_context, config.k_values, config.count_scaling, prior
+    )
     coders = {k: RiceCoder(k) for k in config.k_values}
 
     for i in range(2, total):
@@ -105,6 +109,7 @@ def decompress_channel(
     bucketed_k: bool = False,
     pre_bits: int = 32,
     pre_signed: bool = False,
+    prior=None,
 ) -> np.ndarray:
     def read_pre() -> int:
         raw = bitreader.read(pre_bits)
@@ -127,7 +132,9 @@ def decompress_channel(
     buf = np.zeros(total, dtype=np.int64)
     buf[0], buf[1] = pixel1, pixel2
 
-    estimator = KEstimator(config.max_context, config.k_values, config.count_scaling)
+    estimator = KEstimator(
+        config.max_context, config.k_values, config.count_scaling, prior
+    )
     coders = {k: RiceCoder(k) for k in config.k_values}
     i32_min, i32_max = -(2**31), 2**31 - 1
 

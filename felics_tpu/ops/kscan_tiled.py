@@ -38,12 +38,14 @@ def num_buckets(cfg: CodingConfig) -> int:
 
 
 @partial(jax.jit, static_argnames=("cfg", "nb"))
-def kscan_tiled(qctx, oor, residual, cfg: CodingConfig, nb: int):
+def kscan_tiled(qctx, oor, residual, cfg: CodingConfig, nb: int, prior=None):
     """k per pixel for (D, T) domains. Pure dense ops.
 
     For each bucket b: the estimator table just before pixel i is the
     exclusive cumsum of Rice-length rows over prior out-of-range pixels of
-    bucket b in the same domain; k = last-argmin over the K columns.
+    bucket b in the same domain, plus the per-domain seed ``prior`` (the
+    FLCT-v2 per-image k-prior, shape (D, nb, K); None or zeros = the v0
+    cold-start behavior); k = last-argmin over the K columns.
     """
     k_values = jnp.asarray(cfg.k_values, dtype=jnp.int32)
     num_k = cfg.num_k
@@ -57,6 +59,8 @@ def kscan_tiled(qctx, oor, residual, cfg: CodingConfig, nb: int):
         mask = (qctx == b) & oor
         contrib = jnp.where(mask[..., None], rows, 0)
         table = jnp.cumsum(contrib, axis=1) - contrib  # exclusive prefix sum
+        if prior is not None:
+            table = table + prior[:, b, :][:, None, :]
         best = (num_k - 1) - jnp.argmin(table[..., ::-1], axis=-1)
         k = jnp.where(mask, k_values[best], k)
     return k

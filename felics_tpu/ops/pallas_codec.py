@@ -99,9 +99,10 @@ def kernel_plan(cfg: CodingConfig, th: int, tw: int, c: int, W: int):
     nt_rows = -(-nbk // 8) * 8
     # The per-chunk call's VMEM (scoped limit ~16 MB): pixel chunk in (2x
     # pipelined), stream words in AND out (2x each), state arrays in AND out
-    # (2x each) — conservative so multi-lane-block grids never stack-OOM.
+    # (2x each), per-lane k-prior block in (2x) — conservative so multi-
+    # lane-block grids never stack-OOM.
     state = nt_rows + 8 + _RING + nr
-    per_lane = 4 * (2 * sc + 4 * W + 4 * state + 32)
+    per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
     b = _VMEM_BUDGET // max(per_lane, 1)
     b = min(2048, (b // 128) * 128)
     if b < 128:
@@ -196,6 +197,7 @@ def _encode_kernel_body(
     ring_in,
     nbr_in,
     words_in,
+    prior_ref,
     tab_out,
     st_out,
     ring_out,
@@ -210,6 +212,7 @@ def _encode_kernel_body(
     nb: int,
     K: int,
     NR: int,
+    C: int,
 ):
     """One grid program: encode SC pixels of B tile streams. The host calls
     this once per chunk (ci_ref = chunk index drives the vals block choice;
@@ -293,14 +296,22 @@ def _encode_kernel_body(
 
         def preamble(table, state):
             # j == 0: depth-sized raw first two pixels (two's-complement
-            # truncated for the signed Co/Cg planes); fresh k statistics.
+            # truncated for the signed Co/Cg planes); k statistics restart
+            # from this plane's per-image prior (all-zero for v0 streams).
             w = pre_w_ref[gi]
             maskv = ((1 << w) - 1)
             p0 = (vals_ref[i, :] & maskv).astype(jnp.uint32)
             p1 = (vals_ref[i + 1, :] & maskv).astype(jnp.uint32)
             state = append(state, p0, jnp.full((B,), 1, jnp.int32) * w)
             state = append(state, p1, jnp.full((B,), 1, jnp.int32) * w)
-            return jnp.zeros_like(table), state
+            ch = gi // t
+            NT_ = table.shape[0]
+            newt = prior_ref[0:NT_, :]
+            for ci2 in range(1, C):
+                newt = jnp.where(
+                    ch == ci2, prior_ref[ci2 * NT_ : (ci2 + 1) * NT_, :], newt
+                )
+            return newt, state
 
         def skip(table, state):
             return table, state
@@ -438,11 +449,12 @@ def _encode_kernel_body(
     jax.jit, static_argnames=("th", "tw", "c", "W", "cfg", "interpret")
 )
 def _encode_tiles_pallas(
-    tiles_ls, jmod, row_a, row_b, pre_w, pre_sgn, th: int, tw: int, c: int,
-    W: int, cfg: CodingConfig, interpret: bool,
+    tiles_ls, jmod, row_a, row_b, pre_w, pre_sgn, prior, th: int, tw: int,
+    c: int, W: int, cfg: CodingConfig, interpret: bool,
 ):
-    """tiles_ls: (L, S) int32 tile channel planes. Returns
-    (words (W, L) uint32, bits (L,) int32).
+    """tiles_ls: (L, S) int32 tile channel planes; prior: (c, nb, K) or
+    (L, c, nb, K) int32 k-table seeds. Returns (words (W, L) uint32,
+    bits (L,) int32).
 
     One pallas_call per pixel chunk; the per-lane coder state (k-table,
     bit accumulator, word ring, neighbour ring) threads through the calls as
@@ -457,9 +469,16 @@ def _encode_tiles_pallas(
     Lp = -(-L // B) * B
     vals = jnp.pad(tiles_ls, ((0, Lp - L), (0, 0))).T  # (S, Lp)
 
+    if prior.ndim == 3:  # one image: same seed for every lane
+        prior = jnp.broadcast_to(prior[None], (L, c, nb, K))
+    pr = jnp.pad(
+        prior.reshape(L, c, nb * K), ((0, Lp - L), (0, 0), (0, NT - nb * K))
+    )
+    prior_lanes = pr.reshape(Lp, c * NT).T  # (c*NT, Lp)
+
     kernel = functools.partial(
         _encode_kernel_body,
-        SC=SC, W=W, B=B, t=t, nb=nb, K=K, NR=NR,
+        SC=SC, W=W, B=B, t=t, nb=nb, K=K, NR=NR, C=c,
     )
     lane = lambda b, *_: (0, b)
     chunk = lambda b, jm, ra, rb, pw, ps, ci, il: (ci[0], b)
@@ -478,6 +497,7 @@ def _encode_tiles_pallas(
                 pl.BlockSpec((SC, B), chunk, memory_space=pltpu.VMEM),
                 *state_specs,
                 pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
+                pl.BlockSpec((c * NT, B), lane, memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 *state_specs,
@@ -506,26 +526,33 @@ def _encode_tiles_pallas(
         il_a = jnp.full((1,), 1 if ci == n_chunks - 1 else 0, jnp.int32)
         tab, st, ring, nbr, words, lens = call(
             jmod, row_a, row_b, pre_w, pre_sgn, ci_a, il_a,
-            vals, tab, st, ring, nbr, words,
+            vals, tab, st, ring, nbr, words, prior_lanes,
         )
     return words[:, :L].T, lens[0, :L]
 
 
 def encode_tiles(
-    tiles: np.ndarray, cfg: CodingConfig, th: int, tw: int, W: int
+    tiles: np.ndarray, cfg: CodingConfig, th: int, tw: int, W: int,
+    prior=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode (n_tiles, C, t) int32 tiles into per-tile word columns.
 
-    Returns (words (n_tiles, W) uint32 device array, bits (n_tiles,) int32
-    device array). If any tile's bits exceed W*32 the caller must fall back
-    (detect via bits > W*32; the kernel drops overflowing words safely).
-    """
+    ``prior``: (C, nb, K) int32 k-table seed shared by every tile (or
+    (n_tiles, C, nb, K) per-tile, e.g. a multi-image batch); None = zeros
+    (v0 streams). Returns (words (n_tiles, W) uint32 device array,
+    bits (n_tiles,) int32 device array). If any tile's bits exceed W*32 the
+    caller must fall back (detect via bits > W*32; the kernel drops
+    overflowing words safely)."""
     nt, c, t = tiles.shape
     meta = _meta_arrays(th, tw, c, cfg.depth_bits)
     tiles_ls = jnp.asarray(np.ascontiguousarray(tiles.reshape(nt, c * t)))
+    nb = int(cfg.max_context).bit_length() + 1
+    if prior is None:
+        prior = np.zeros((c, nb, cfg.num_k), np.int32)
     return _encode_tiles_pallas(
         tiles_ls,
         *(jnp.asarray(m) for m in meta),
+        jnp.asarray(prior, jnp.int32),
         th,
         tw,
         c,
@@ -585,15 +612,22 @@ def encode_width_bound(cfg: CodingConfig, t: int, c: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decode_fits(S: int, W: int) -> bool:
+def _prior_rows(c: int, cfg: CodingConfig) -> int:
+    """Sublane-padded per-channel row count of the k-prior VMEM block."""
+    nbk = (int(cfg.max_context).bit_length() + 1) * cfg.num_k
+    return -(-nbk // 8) * 8
+
+
+def decode_fits(S: int, W: int, c: int, cfg: CodingConfig) -> bool:
     """Whether the non-chunked decode kernel fits VMEM at B=128."""
-    return 4 * (2 * (S + W) + 96) * 128 <= _VMEM_BUDGET
+    return 4 * (2 * (S + W + c * _prior_rows(c, cfg)) + 96) * 128 <= _VMEM_BUDGET
 
 
-def _lane_block_full(S: int, W: int) -> int:
-    """Lane block for the non-chunked decode kernel: the full (S, B) output
-    and (W, B) stream block are VMEM-resident (double-buffered)."""
-    per_lane = 4 * (2 * (S + W) + 96)
+def _lane_block_full(S: int, W: int, c: int, cfg: CodingConfig) -> int:
+    """Lane block for the non-chunked decode kernel: the full (S, B) output,
+    (W, B) stream block and (c*NT, B) prior are VMEM-resident
+    (double-buffered)."""
+    per_lane = 4 * (2 * (S + W + c * _prior_rows(c, cfg)) + 96)
     b = _VMEM_BUDGET // max(per_lane, 1)
     b = min(2048, (b // 128) * 128)
     return max(128, b)
@@ -606,6 +640,7 @@ def _decode_kernel_body(
     pre_w_ref,
     pre_sgn_ref,
     cols_ref,
+    prior_ref,
     out_ref,
     *,
     S: int,
@@ -615,6 +650,8 @@ def _decode_kernel_body(
     nb: int,
     K: int,
     max_context: int,
+    C: int,
+    NT: int,
 ):
     """One grid program: decode B tile streams into (S, B) pixel planes."""
     R, G = _RING, _SPILL
@@ -699,7 +736,15 @@ def _decode_kernel_body(
                 32 - w
             )
             value = jnp.where(pre_sgn_ref[i] > 0, sext, raw)
-            table = jnp.where(j == 0, 0, table)
+            # Restart the k statistics from this plane's per-image prior
+            # (all-zero for v0 streams).
+            ch = i // t
+            newt = prior_ref[0:NT, :]
+            for ci2 in range(1, C):
+                newt = jnp.where(
+                    ch == ci2, prior_ref[ci2 * NT : (ci2 + 1) * NT, :], newt
+                )
+            table = jnp.where(j == 0, newt[: nb * K, :], table)
             return table, pos + w, value
 
         def main(table, pos):
@@ -902,18 +947,27 @@ def _decode_kernel_body(
     jax.jit, static_argnames=("th", "tw", "c", "cfg", "interpret")
 )
 def _decode_tiles_pallas(
-    cols_lw, jmod, row_a, row_b, pre_w, pre_sgn, th: int, tw: int, c: int,
-    cfg: CodingConfig, interpret: bool,
+    cols_lw, jmod, row_a, row_b, pre_w, pre_sgn, prior, th: int, tw: int,
+    c: int, cfg: CodingConfig, interpret: bool,
 ):
-    """cols_lw: (L, W) uint32 per-tile stream words. Returns (L, S) int32."""
+    """cols_lw: (L, W) uint32 per-tile stream words; prior: (c, nb, K) or
+    (L, c, nb, K) int32 k-table seeds. Returns (L, S) int32."""
     L, W = cols_lw.shape
     t = th * tw
     S = c * t
     nb = int(cfg.max_context).bit_length() + 1
     K = cfg.num_k
-    B = _lane_block_full(S, W)
+    NT = -(-(nb * K) // 8) * 8
+    B = _lane_block_full(S, W, c, cfg)
     Lp = -(-L // B) * B
     cols = jnp.pad(cols_lw, ((0, Lp - L), (0, 0))).T  # (W, Lp)
+
+    if prior.ndim == 3:  # one image: same seed for every lane
+        prior = jnp.broadcast_to(prior[None], (L, c, nb, K))
+    pr = jnp.pad(
+        prior.reshape(L, c, nb * K), ((0, Lp - L), (0, 0), (0, NT - nb * K))
+    )
+    prior_lanes = pr.reshape(Lp, c * NT).T  # (c*NT, Lp)
 
     kernel = functools.partial(
         _decode_kernel_body,
@@ -924,6 +978,8 @@ def _decode_tiles_pallas(
         nb=nb,
         K=K,
         max_context=cfg.max_context,
+        C=c,
+        NT=NT,
     )
     out = pl.pallas_call(
         kernel,
@@ -932,6 +988,9 @@ def _decode_tiles_pallas(
             grid=(Lp // B,),
             in_specs=[
                 pl.BlockSpec((W, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (c * NT, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (S, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM
@@ -939,19 +998,26 @@ def _decode_tiles_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((S, Lp), jnp.int32),
         interpret=interpret,
-    )(jmod, row_a, row_b, pre_w, pre_sgn, cols)
+    )(jmod, row_a, row_b, pre_w, pre_sgn, cols, prior_lanes)
     return out[:, :L].T
 
 
 def decode_tiles(
-    cols_lw, cfg: CodingConfig, th: int, tw: int, c: int
+    cols_lw, cfg: CodingConfig, th: int, tw: int, c: int, prior=None
 ) -> jnp.ndarray:
-    """Decode per-tile stream word rows (L, W) into (L, C, t) int32 planes."""
+    """Decode per-tile stream word rows (L, W) into (L, C, t) int32 planes.
+
+    ``prior``: (C, nb, K) int32 k-table seed shared by every tile (or
+    (L, C, nb, K) per-tile); None = zeros (v0 streams)."""
     t = th * tw
     meta = _meta_arrays(th, tw, c, cfg.depth_bits)
+    nb = int(cfg.max_context).bit_length() + 1
+    if prior is None:
+        prior = np.zeros((c, nb, cfg.num_k), np.int32)
     out = _decode_tiles_pallas(
         cols_lw,
         *(jnp.asarray(m) for m in meta),
+        jnp.asarray(prior, jnp.int32),
         th,
         tw,
         c,

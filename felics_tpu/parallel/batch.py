@@ -51,13 +51,21 @@ def compress_tiled_batch(
         tiling._prepare_tiles(im, color, th, tw) for im in images
     ]
     counts = [p[0].shape[0] for p in parts]
+    c = parts[0][0].shape[1]
+    # Per-image k-priors, expanded per tile for the fused stage2.
+    k0s = [
+        tiling.compute_k0(p[0], th, tw, cfg, nb) for p in parts
+    ]
+    priors = np.stack([tiling.prior_from_k0(k0, cfg, c) for k0 in k0s])
+    tile_group = np.repeat(np.arange(len(images)), counts)
+    prior_nt = jnp.asarray(priors[tile_group])
     tiles = jnp.asarray(np.concatenate([p[0] for p in parts]))
 
     (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )
     flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx,
+        tiles, context, low, oor, residual, in_range, above, qctx, prior_nt,
         th, tw, cfg, nb,
     )
     n_big = bitpack.count_big_symbols(flat)
@@ -66,21 +74,21 @@ def compress_tiled_batch(
     n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
     packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
-    lengths = np.asarray(tile_bytes)
+    lengths = np.asarray(tile_bytes, dtype=np.int64)
     payload = np.asarray(packed[:total]).tobytes()
     tile_pos = np.concatenate([[0], np.cumsum(lengths)])
 
     out: List[bytes] = []
     t0 = 0
-    for header, n_t in zip(headers, counts):
+    for header, n_t, k0 in zip(headers, counts, k0s):
         t1 = t0 + n_t
-        hdr = tiling._FIXED_HEADER.pack(
-            tiling.MAGIC_TILED, int(color), int(depth),
-            header.width, header.height, tw, th, 0, n_t,
-        )
-        table = lengths[t0:t1].astype(">u4").tobytes()
         body = payload[tile_pos[t0] : tile_pos[t1]]
-        out.append(hdr + table + bytes(body))
+        out.append(
+            tiling.pack_tiled_container(
+                color, depth, header.width, header.height, tw, th, n_t,
+                lengths[t0:t1], bytes(body), k0,
+            )
+        )
         t0 = t1
     return out
 
@@ -105,8 +113,7 @@ def decompress_tiled_batch(datas: Sequence[bytes]) -> List[np.ndarray]:
     starts_list = []
     base_bits = 0
     for d, h in zip(datas, headers):
-        off = tiling._FIXED_HEADER.size + 4 * h.n_tiles
-        payload = np.frombuffer(d[off:], dtype=np.uint8)
+        payload = np.frombuffer(d[h.payload_off :], dtype=np.uint8)
         pad = (-len(payload)) % 4
         if pad:
             payload = np.concatenate([payload, np.zeros(pad, np.uint8)])
@@ -123,7 +130,16 @@ def decompress_tiled_batch(datas: Sequence[bytes]) -> List[np.ndarray]:
         (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
     )
     starts = jnp.asarray(np.concatenate(starts_list).astype(np.int32))
-    bufs = tiling._decode_tiles(words, starts, th, tw, c, cfg, nb)
+    priors = np.stack(
+        [tiling.prior_from_k0(h.k0, cfg, c) for h in headers]
+    )
+    tile_group = np.repeat(
+        np.arange(len(headers)), [h.n_tiles for h in headers]
+    )
+    bufs = tiling._decode_tiles(
+        words, starts, th, tw, c, cfg, nb,
+        jnp.asarray(priors), jnp.asarray(tile_group, jnp.int32),
+    )
 
     depth_max = 255 if h0.pixel_depth == PixelDepth.EIGHT else 65535
     out: List[np.ndarray] = []

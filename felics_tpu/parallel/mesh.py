@@ -53,19 +53,24 @@ def fused_encode_step(
     cfg: CodingConfig,
     nb: int,
     b_pad: int,
+    prior: Optional[jnp.ndarray] = None,
 ):
     """Full FLCT encode as one XLA program: tiles (n_tiles, C, T) int32 →
     (packed bytes uint8[b_pad//8], per-tile byte lengths, total bytes).
 
-    ``r_pad`` bounds the per-(tile,channel,bucket) update count (T is always
-    safe); ``b_pad`` bounds total payload bits (caller must guarantee it —
-    the dynamic path in tiling.py sizes it exactly).
+    ``prior``: (C, nb, K) int32 per-image k-table seed (None = zeros, the
+    v0 stream). ``b_pad`` bounds total payload bits (caller must guarantee
+    it — the dynamic path in tiling.py sizes it exactly).
     """
+    nt, c, _t = tiles.shape
+    if prior is None:
+        prior = jnp.zeros((c, nb, cfg.num_k), jnp.int32)
+    prior_nt = jnp.broadcast_to(prior[None], (nt, c, nb, cfg.num_k))
     (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )
     flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx,
+        tiles, context, low, oor, residual, in_range, above, qctx, prior_nt,
         th, tw, cfg, nb,
     )
     packed = bitpack.pack_bits_scatter(flat, offsets, b_pad)
@@ -110,6 +115,9 @@ def encode_tiled_sharded(
 
     tiles_np, ty, tx = tiling._prepare_tiles(image, base.color_type, th, tw)
     n_tiles = tiles_np.shape[0]
+    c = tiles_np.shape[1]
+    k0 = tiling.compute_k0(tiles_np, th, tw, cfg, nb)
+    prior_np = tiling.prior_from_k0(k0, cfg, c)
     n_dev = mesh.devices.size
     pad_tiles = (-n_tiles) % n_dev
     if pad_tiles:
@@ -119,12 +127,16 @@ def encode_tiled_sharded(
 
     sharding = NamedSharding(mesh, P(axis, None, None))
     tiles = jax.device_put(jnp.asarray(tiles_np), sharding)
+    prior = jnp.broadcast_to(
+        jnp.asarray(prior_np)[None],
+        (tiles_np.shape[0], c, nb, cfg.num_k),
+    )
 
     (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )
     flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx,
+        tiles, context, low, oor, residual, in_range, above, qctx, prior,
         th, tw, cfg, nb,
     )
     n_big = bitpack.count_big_symbols(flat)
@@ -133,15 +145,13 @@ def encode_tiled_sharded(
     n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
     packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
-    tile_bytes_np = np.asarray(tile_bytes)[:n_tiles]
+    tile_bytes_np = np.asarray(tile_bytes, dtype=np.int64)[:n_tiles]
     payload_len = int(tile_bytes_np.sum())
-    header = tiling._FIXED_HEADER.pack(
-        tiling.MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
-        w, h, tw, th, 0, n_tiles,
-    )
-    table = tile_bytes_np.astype(">u4").tobytes()
     payload = np.asarray(packed[:payload_len]).tobytes()
-    return header + table + payload
+    return tiling.pack_tiled_container(
+        base.color_type, base.pixel_depth, w, h, tw, th, n_tiles,
+        tile_bytes_np, payload, k0,
+    )
 
 
 def decode_tiled_sharded(data: bytes, mesh: Mesh, axis: str = "tiles") -> np.ndarray:
@@ -166,8 +176,8 @@ def decode_tiled_sharded(data: bytes, mesh: Mesh, axis: str = "tiles") -> np.nda
     th, tw = header.tile_h, header.tile_w
     ty, tx = -(-h // th), -(-w // tw)
     c = header.num_channels
-    payload_off = t._FIXED_HEADER.size + 4 * header.n_tiles
-    arr = np.frombuffer(data[payload_off:], dtype=np.uint8)
+    prior_np = t.prior_from_k0(header.k0, cfg, c)
+    arr = np.frombuffer(data[header.payload_off :], dtype=np.uint8)
     pad = (-len(arr)) % 4
     if pad:
         arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
@@ -186,7 +196,9 @@ def decode_tiled_sharded(data: bytes, mesh: Mesh, axis: str = "tiles") -> np.nda
     starts = jax.device_put(
         jnp.asarray(starts, jnp.int32), NamedSharding(mesh, P(axis))
     )
-    bufs = t._decode_tiles(words, starts, th, tw, c, cfg, nb)
+    bufs = t._decode_tiles(
+        words, starts, th, tw, c, cfg, nb, jnp.asarray(prior_np)[None]
+    )
     if pad_tiles:
         bufs = bufs[: header.n_tiles]
     depth_max = 255 if int(header.pixel_depth) == 0 else 65535

@@ -9,23 +9,35 @@ Layout (all integers big-endian):
     10:14  height u32
     14:16  tile_w u16
     16:18  tile_h u16
-    18:20  flags  u16      (0)
+    18:20  flags  u16      (bit 0: u16 length table; bit 1: k-prior block)
     20:24  n_tiles u32
-    24:..  per-tile payload byte length, u32 × n_tiles
+    24:..  [flags bit 1] k-prior block: one 4-bit k0 per (channel, bucket),
+           channel-major, high nibble first, zero-padded to a whole byte
+           (ceil(C*nb/2) bytes; nb = bit_length(MAX_CONTEXT) + 1)
+    ..     per-tile payload byte length × n_tiles
+           (u16 when flags bit 0 is set — the encoder sets it whenever every
+           tile's payload fits — else u32)
     ..     payload: concatenated per-tile streams, each byte-aligned
 
 The image is edge-replicated up to a multiple of the tile size; tiles are
 row-major over the padded canvas. Each tile's stream is FELICS coding of its
 channel planes (Y/Co/Cg for RGB) coded back-to-back exactly like a miniature
 FLCS payload — per-tile raw first-two-pixels preamble, fresh k statistics —
-with TWO deviations: (1) the k-estimator is indexed by the log-bucketed
+with THREE deviations: (1) the k-estimator is indexed by the log-bucketed
 context ``qctx = bit_length(Δ)`` (felics_tpu.ops.kscan_tiled) instead of
 exact Δ — buckets keep per-tile tables tiny (10/18 rows), which is what lets
 thousands of tiles decode concurrently on-chip; (2) the raw preamble pixels
 are depth-sized rather than 32-bit (plane 0: ``depth`` unsigned bits; the
 signed Co/Cg planes: ``depth+1``-bit two's complement) — per-tile restart
 overhead matters at tile granularity where 32-bit preambles cost ~1% of the
-whole payload.
+whole payload; (3) (v2, flags bit 1) every (tile, channel) k-table starts at
+the per-image prior ``PRIOR_WEIGHT * |k - k0[channel][bucket]|`` instead of
+all zeros, where k0 is the globally-best k per (channel, bucket) computed by
+the encoder over the whole image and stored in the header as 4-bit nibbles —
+this removes most of the per-tile estimator cold-start cost (measured: tile
+32 goes from +1.3% to +0.6% vs single-stream FLCS on the corpus; see
+scripts/ratio_lab.py). A zero prior reproduces the v0 (flags=0) streams
+bit-exactly, so v0 containers remain decodable.
 
 Tiles are mutually independent: encode is one batched XLA program over all
 tiles; decode vmaps a per-tile sequential scan; the tile axis shards over a
@@ -68,6 +80,14 @@ def _bucket_count(value: int, minimum: int = 64) -> int:
 MAGIC_TILED = b"FLCT"
 _FIXED_HEADER = struct.Struct(">4sBBIIHHHI")  # 24 bytes
 
+FLAG_TABLE_U16 = 0x0001  # tile length table entries are u16 (else u32)
+FLAG_K_PRIOR = 0x0002  # header carries the per-(channel, bucket) k0 prior
+_KNOWN_FLAGS = FLAG_TABLE_U16 | FLAG_K_PRIOR
+# Seed weight of the k-prior: every (tile, channel) k-table starts at
+# PRIOR_WEIGHT * |k - k0| instead of zeros (swept in scripts/ratio_lab.py;
+# 2-4 are equivalent on the corpus, larger over-commits to the global k).
+PRIOR_WEIGHT = 4
+
 
 @dataclass
 class TiledHeader:
@@ -78,7 +98,10 @@ class TiledHeader:
     tile_w: int
     tile_h: int
     n_tiles: int
-    tile_lengths: np.ndarray  # u32[n_tiles] payload bytes per tile
+    tile_lengths: np.ndarray  # payload bytes per tile
+    flags: int = 0
+    k0: Optional[np.ndarray] = None  # (C, nb) per-(channel, bucket) prior k
+    payload_off: int = _FIXED_HEADER.size
 
     @property
     def num_channels(self) -> int:
@@ -93,16 +116,35 @@ def read_tiled_header(data: bytes) -> TiledHeader:
     )
     if magic != MAGIC_TILED:
         raise errors.InvalidSignature(f"bad magic {magic!r}")
-    if flags != 0:
-        raise errors.InvalidValue(f"unsupported FLCT flags {flags}")
-    end = _FIXED_HEADER.size + 4 * n_tiles
+    if flags & ~_KNOWN_FLAGS:
+        raise errors.InvalidValue(f"unsupported FLCT flags {flags:#06x}")
+    color_type = ColorType.from_byte(color)
+    pixel_depth = PixelDepth.from_byte(depth)
+    pos = _FIXED_HEADER.size
+    k0 = None
+    if flags & FLAG_K_PRIOR:
+        c = 1 if color_type == ColorType.GRAY else 3
+        cfg = tiled_config_for_depth(pixel_depth)
+        nb = int(cfg.max_context).bit_length() + 1
+        nbytes = (c * nb + 1) // 2
+        if len(data) < pos + nbytes:
+            raise errors.IoError("truncated FLCT k-prior block")
+        nibs = np.frombuffer(data[pos : pos + nbytes], dtype=np.uint8)
+        k0 = np.empty(nbytes * 2, np.int32)
+        k0[0::2] = nibs >> 4
+        k0[1::2] = nibs & 0x0F
+        # Corrupt-stream tolerance: nibbles past the largest candidate k only
+        # shape the prior, never the code itself — clamp for sanity.
+        k0 = np.minimum(k0[: c * nb], cfg.k_values[-1]).reshape(c, nb)
+        pos += nbytes
+    entry = 2 if flags & FLAG_TABLE_U16 else 4
+    end = pos + entry * n_tiles
     if len(data) < end:
         raise errors.IoError("truncated FLCT tile table")
-    lengths = np.frombuffer(data[_FIXED_HEADER.size : end], dtype=">u4").astype(
-        np.int64
-    )
+    dt = ">u2" if flags & FLAG_TABLE_U16 else ">u4"
+    lengths = np.frombuffer(data[pos:end], dtype=dt).astype(np.int64)
     return TiledHeader(
-        color_type=ColorType.from_byte(color),
+        color_type=color_type,
         pixel_depth=PixelDepth.from_byte(depth),
         width=w,
         height=h,
@@ -110,7 +152,102 @@ def read_tiled_header(data: bytes) -> TiledHeader:
         tile_h=th,
         n_tiles=n_tiles,
         tile_lengths=lengths,
+        flags=flags,
+        k0=k0,
+        payload_off=end,
     )
+
+
+def compute_k0(
+    tiles_np: np.ndarray, th: int, tw: int, cfg: CodingConfig, nb: int
+) -> np.ndarray:
+    """Per-(channel, bucket) globally-best Rice k over the whole image.
+
+    Exact int64 host arithmetic (the value is written into the header and
+    read back by every decoder, so engines need not recompute it — but the
+    native C++ encoder computes the same sums in uint64, and byte-parity
+    tests require the identical argmin). Ties select the largest k and
+    all-zero (unseen bucket) yields the largest k, mirroring the estimator's
+    selection rule (reference: src/compression/parameter_selection.rs:71-85).
+    """
+    nt, c, t = tiles_np.shape
+    a_idx, b_idx = neighbour_indices(th, tw, xp=np)
+    v1 = tiles_np[..., a_idx]
+    v2 = tiles_np[..., b_idx]
+    high = np.maximum(v1, v2)
+    low = np.minimum(v1, v2)
+    ctx = (high - low).astype(np.int64)
+    p = tiles_np
+    first_two = np.arange(t) < 2
+    below = (p < low) & ~first_two
+    above = (p > high) & ~first_two
+    oor = below | above
+    residual = np.where(below, low - p, p - high).astype(np.int64) - 1
+    # qctx = bit_length(ctx); ctx <= max_context so this never exceeds nb-1.
+    qctx = np.zeros_like(ctx)
+    nz = ctx > 0
+    qctx[nz] = np.floor(np.log2(ctx[nz])).astype(np.int64) + 1
+
+    k_values = np.asarray(cfg.k_values, np.int64)
+    K = len(k_values)
+    # (c*nb,) bucket id per masked pixel -> K bincounts of int64 weights
+    # (bincount weights are float64 but the sums stay << 2^53, hence exact).
+    chan = np.broadcast_to(np.arange(c)[None, :, None], tiles_np.shape)
+    bucket = (chan * nb + qctx)[oor].astype(np.int64)
+    res = residual[oor]
+    totals = np.zeros((K, c * nb), np.int64)
+    for ki, k in enumerate(k_values):
+        wts = (res >> k) + 1 + k
+        totals[ki] = np.bincount(
+            bucket, weights=wts.astype(np.float64), minlength=c * nb
+        ).astype(np.int64)
+    best = (K - 1) - np.argmin(totals[::-1], axis=0)  # ties -> largest k
+    return k_values[best].reshape(c, nb).astype(np.int32)
+
+
+def prior_from_k0(k0: Optional[np.ndarray], cfg: CodingConfig, c: int):
+    """(C, nb, K) int32 k-table seed. None (v0 stream) -> zeros."""
+    nb = num_buckets(cfg)
+    kv = np.asarray(cfg.k_values, np.int32)
+    if k0 is None:
+        return np.zeros((c, nb, len(kv)), np.int32)
+    k0 = np.minimum(np.asarray(k0, np.int32), kv[-1])
+    return (PRIOR_WEIGHT * np.abs(kv[None, None, :] - k0[..., None])).astype(
+        np.int32
+    )
+
+
+def pack_tiled_container(
+    base_color: ColorType,
+    base_depth: PixelDepth,
+    w: int,
+    h: int,
+    tw: int,
+    th: int,
+    n_tiles: int,
+    tile_bytes_np: np.ndarray,
+    payload: bytes,
+    k0: Optional[np.ndarray],
+) -> bytes:
+    """Assemble header (+ optional k-prior block) + length table + payload."""
+    flags = 0
+    prior_blob = b""
+    if k0 is not None:
+        flags |= FLAG_K_PRIOR
+        nib = np.asarray(k0, np.uint8).reshape(-1)
+        if nib.size % 2:
+            nib = np.append(nib, np.uint8(0))
+        prior_blob = ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8).tobytes()
+    if n_tiles == 0 or int(tile_bytes_np.max(initial=0)) < (1 << 16):
+        flags |= FLAG_TABLE_U16
+        table = tile_bytes_np.astype(">u2").tobytes()
+    else:
+        table = tile_bytes_np.astype(">u4").tobytes()
+    header = _FIXED_HEADER.pack(
+        MAGIC_TILED, int(base_color), int(base_depth), w, h, tw, th, flags,
+        n_tiles,
+    )
+    return header + prior_blob + table + payload
 
 
 def _clamped_tile_dims(h: int, w: int, tile: TileConfig) -> Tuple[int, int]:
@@ -162,10 +299,11 @@ def _tiled_stage1(tiles, th: int, tw: int, nb: int):
 
 @partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb"))
 def _tiled_stage2(
-    tiles, context, low, oor, residual, in_range, above, qctx,
+    tiles, context, low, oor, residual, in_range, above, qctx, prior,
     th: int, tw: int, cfg: CodingConfig, nb: int,
 ):
-    """Symbols + per-tile/global offsets. Returns flat symbols, flat offsets,
+    """Symbols + per-tile/global offsets. ``prior``: (nt, C, nb, K) int32
+    per-domain k-table seed (zeros = v0). Returns flat symbols, flat offsets,
     per-tile byte lengths, total payload bytes."""
     nt, c, t = tiles.shape
     k = kscan_tiled(
@@ -174,6 +312,7 @@ def _tiled_stage2(
         residual.reshape(nt * c, t),
         cfg,
         nb,
+        prior.reshape(nt * c, nb, cfg.num_k),
     ).reshape(nt, c, t)
 
     # --- symbolize (same codeword layout as ops.analysis.symbolize) ---
@@ -303,10 +442,12 @@ def compress_tiled_bytes(
     image: np.ndarray,
     tile: Optional[TileConfig] = None,
     engine: str = "auto",
+    k_prior: bool = True,
 ) -> bytes:
     """Engine "pallas" runs the fused Mosaic kernels (ops.pallas_codec);
     "xla" runs the dense stage1/stage2/bitpack pipeline. Output bytes are
-    identical; "auto" picks pallas on TPU."""
+    identical; "auto" picks pallas on TPU. ``k_prior=False`` emits a legacy
+    v0 container (no per-image k-prior, u32 length table)."""
     from felics_tpu.api import header_for_array
 
     base = header_for_array(image)  # validates dtype/shape
@@ -326,6 +467,24 @@ def compress_tiled_bytes(
     tiles_np, ty, tx = _prepare_tiles(image, base.color_type, th, tw)
 
     nt, c, t = tiles_np.shape
+    k0 = compute_k0(tiles_np, th, tw, cfg, nb) if k_prior else None
+    prior_np = prior_from_k0(k0, cfg, c)  # (C, nb, K); zeros when no prior
+
+    def pack(tile_bytes_np: np.ndarray, payload_b: bytes) -> bytes:
+        if not k_prior:  # legacy v0: flags=0, u32 table, no prior block
+            return (
+                _FIXED_HEADER.pack(
+                    MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
+                    w, h, tw, th, 0, ty * tx,
+                )
+                + tile_bytes_np.astype(">u4").tobytes()
+                + payload_b
+            )
+        return pack_tiled_container(
+            base.color_type, base.pixel_depth, w, h, tw, th, ty * tx,
+            tile_bytes_np, payload_b, k0,
+        )
+
     from felics_tpu.ops import pallas_codec
 
     wcap = pallas_codec.encode_width_bound(cfg, t, c)
@@ -346,7 +505,7 @@ def compress_tiled_bytes(
                 break
             try:
                 words, bits = pallas_codec.encode_tiles(
-                    tiles_np, cfg, th, tw, wtry
+                    tiles_np, cfg, th, tw, wtry, prior_np
                 )
                 bits_np = np.asarray(bits).astype(np.int64)
             except Exception as e:  # Mosaic compile/run failure -> XLA
@@ -360,21 +519,19 @@ def compress_tiled_bytes(
             pallas_codec.observe_width(cfg, t, c, max_bits)
             tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
             payload_b = _columns_to_payload(np.asarray(words), tile_bytes_np)
-            header = _FIXED_HEADER.pack(
-                MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
-                w, h, tw, th, 0, ty * tx,
-            )
-            table = tile_bytes_np.astype(">u4").tobytes()
-            return header + table + payload_b
+            return pack(tile_bytes_np, payload_b)
         # pathological stream exceeded the fast-path word budget: fall back
 
     tiles = jnp.asarray(tiles_np)
+    prior = jnp.broadcast_to(
+        jnp.asarray(prior_np)[None], (nt, c, nb, cfg.num_k)
+    )
 
     (context, low, oor, residual, in_range, above, qctx) = (
         _tiled_stage1(tiles, th, tw, nb)
     )
     flat, offsets, tile_bytes, total_bytes = _tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx,
+        tiles, context, low, oor, residual, in_range, above, qctx, prior,
         th, tw, cfg, nb,
     )
     n_big = bitpack.count_big_symbols(flat)
@@ -383,14 +540,9 @@ def compress_tiled_bytes(
     n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
     packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
-    n_tiles = ty * tx
-    header = _FIXED_HEADER.pack(
-        MAGIC_TILED, int(base.color_type), int(base.pixel_depth),
-        w, h, tw, th, 0, n_tiles,
-    )
-    table = np.asarray(tile_bytes, dtype=np.uint32).astype(">u4").tobytes()
+    tile_bytes_np = np.asarray(tile_bytes, dtype=np.int64)
     payload = np.asarray(packed[:total]).tobytes()
-    return header + table + payload
+    return pack(tile_bytes_np, payload)
 
 
 # ---------------------------------------------------------------------------
@@ -418,9 +570,14 @@ def _read_bits_fn(words):
 
 @partial(jax.jit, static_argnames=("th", "tw", "c", "cfg", "nb"))
 def _decode_tiles(
-    words, tile_bit_starts, th: int, tw: int, c: int, cfg: CodingConfig, nb: int
+    words, tile_bit_starts, th: int, tw: int, c: int, cfg: CodingConfig,
+    nb: int, prior=None, tile_group=None,
 ):
     """vmapped sequential decode of every tile at once.
+
+    ``prior``: (G, C, nb, K) int32 k-table seeds and ``tile_group``:
+    (n_tiles,) int32 index into G (images in a batch have distinct priors);
+    None = zero seed (v0 streams).
 
     Per-step cost is the decode bottleneck, so the step is engineered around
     TPU costs: ONE aligned 64-bit window (3 word gathers) feeds the marker,
@@ -432,6 +589,10 @@ def _decode_tiles(
     t = th * tw
     k_values = jnp.asarray(cfg.k_values, dtype=jnp.int32)
     num_k = cfg.num_k
+    if prior is None:
+        prior = jnp.zeros((1, c, nb, num_k), jnp.int32)
+    if tile_group is None:
+        tile_group = jnp.zeros_like(tile_bit_starts)
     a_idx, b_idx = neighbour_indices(th, tw, xp=jnp)
     bucket_ids = jnp.arange(nb, dtype=jnp.int32)
     read = _read_bits_fn(words)
@@ -455,14 +616,21 @@ def _decode_tiles(
         x = jnp.where(s < 32, lo, hi)
         return shr32(x, 32 - n)
 
-    def decode_tile(start_bit):
+    def decode_tile(start_bit, gidx):
+        prior_t = prior[gidx]  # (C, nb, K)
+
         def step(state, i):
             pos, table, buf = state
             j = i % t  # pixel within channel plane
             ch = i // t
-            # Fresh k statistics per channel plane (matches the encoder's
+            # Fresh k statistics per channel plane, seeded from the header's
+            # per-image prior (zeros for v0 streams; matches the encoder's
             # per-(tile, channel) domains and FLCS's per-channel estimator).
-            table = table * jnp.where(j == 0, 0, 1)
+            table = jnp.where(
+                j == 0,
+                jax.lax.dynamic_index_in_dim(prior_t, ch, 0, keepdims=False),
+                table,
+            )
 
             # Aligned 64-bit window at the cursor: ONE triple-word gather.
             wi = pos >> 5
@@ -584,7 +752,7 @@ def _decode_tiles(
             buf = buf.at[i].set(value)
             return (new_pos, table, buf), None
 
-        table0 = jnp.zeros((nb, num_k), jnp.int32)
+        table0 = prior_t[0]
         buf0 = jnp.zeros((c * t,), jnp.int32)
         (end_pos, _, buf), _ = jax.lax.scan(
             step,
@@ -594,7 +762,9 @@ def _decode_tiles(
         )
         return buf
 
-    bufs = jax.vmap(decode_tile)(tile_bit_starts.astype(jnp.int32))
+    bufs = jax.vmap(decode_tile)(
+        tile_bit_starts.astype(jnp.int32), tile_group.astype(jnp.int32)
+    )
     return bufs.reshape(-1, c, t)
 
 
@@ -635,9 +805,9 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     if ty * tx != header.n_tiles:
         raise errors.InvalidDimensions("tile grid does not match dims")
     c = header.num_channels
+    prior_np = prior_from_k0(header.k0, cfg, c)  # zeros for v0 streams
 
-    payload_off = _FIXED_HEADER.size + 4 * header.n_tiles
-    payload = data[payload_off:]
+    payload = data[header.payload_off :]
     expected = int(header.tile_lengths.sum())
     if len(payload) < expected:
         raise errors.IoError("truncated FLCT payload")
@@ -651,12 +821,14 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     if (
         _resolve_engine(engine) == "pallas"
         and _pallas_usable("decode", dec_key)
-        and pallas_codec.decode_fits(c * th * tw, wd)
+        and pallas_codec.decode_fits(c * th * tw, wd, c, cfg)
     ):
         starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
         cols = _payload_to_columns(payload[:expected], starts_b, lens, wd)
         try:
-            bufs = pallas_codec.decode_tiles(jnp.asarray(cols), cfg, th, tw, c)
+            bufs = pallas_codec.decode_tiles(
+                jnp.asarray(cols), cfg, th, tw, c, prior_np
+            )
         except Exception as e:  # Mosaic compile/run failure -> XLA
             if engine == "pallas":
                 raise
@@ -672,7 +844,8 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
         )
         starts = np.concatenate([[0], np.cumsum(header.tile_lengths)[:-1]]) * 8
         bufs = _decode_tiles(
-            words, jnp.asarray(starts, dtype=jnp.int32), th, tw, c, cfg, nb
+            words, jnp.asarray(starts, dtype=jnp.int32), th, tw, c, cfg, nb,
+            jnp.asarray(prior_np)[None],
         )
     depth_max = 255 if header.pixel_depth == PixelDepth.EIGHT else 65535
     out, valid = _assemble_image(

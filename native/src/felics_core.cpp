@@ -220,13 +220,19 @@ struct PhaseIn {
 // ---------------------------------------------------------------------------
 class KEstimator {
  public:
-  KEstimator(const CodingParams& p) : p_(p), rows_(p.max_context + 1, nullptr) {
+  // prior: optional (contexts x num_k) k-table seed (FLCT v2 per-image
+  // k-prior; contexts are buckets there). nullptr = all-zero init.
+  KEstimator(const CodingParams& p, const uint32_t* prior = nullptr)
+      : p_(p), prior_(prior), rows_(p.max_context + 1, nullptr) {
     storage_.reserve(256);
   }
 
   inline uint32_t get_k(uint32_t context) {
     const uint32_t* row = rows_[context];
-    if (!row) return p_.k_values[p_.num_k - 1];  // all-zero row: largest k
+    if (!row) {
+      if (!prior_) return p_.k_values[p_.num_k - 1];  // all-zero: largest k
+      row = prior_ + static_cast<size_t>(context) * p_.num_k;
+    }
     uint32_t smallest = 0xFFFFFFFFu;
     int best = 0;
     for (int i = 0; i < p_.num_k; ++i) {
@@ -243,6 +249,9 @@ class KEstimator {
     if (!row) {
       storage_.emplace_back(p_.num_k, 0u);
       row = rows_[context] = storage_.back().data();
+      if (prior_)
+        memcpy(row, prior_ + static_cast<size_t>(context) * p_.num_k,
+               sizeof(uint32_t) * p_.num_k);
     }
     uint32_t min_v = 0xFFFFFFFFu;
     for (int i = 0; i < p_.num_k; ++i) {
@@ -256,6 +265,7 @@ class KEstimator {
 
  private:
   CodingParams p_;
+  const uint32_t* prior_;
   std::vector<uint32_t*> rows_;
   std::vector<std::vector<uint32_t>> storage_;
 };
@@ -293,7 +303,8 @@ inline uint32_t k_context(uint32_t context, bool bucketed) {
 
 void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
                       const CodingParams& params, BitSink& sink,
-                      bool bucketed_k = false, uint32_t pre_bits = 32) {
+                      bool bucketed_k = false, uint32_t pre_bits = 32,
+                      const uint32_t* prior = nullptr) {
   // pre_bits: raw first-two-pixels preamble width. FLCS uses 32 (reference
   // interop, src/compression.rs:104-107); FLCT uses depth(+1 for the signed
   // Co/Cg planes) — two's-complement truncation, see tiling.py format spec.
@@ -311,7 +322,7 @@ void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
   sink.put(pre_bits, static_cast<uint32_t>(chan[0]));
   sink.put(pre_bits, static_cast<uint32_t>(chan[1]));
 
-  KEstimator estimator(params);
+  KEstimator estimator(params, prior);
   for (size_t i = 2; i < total; ++i) {
     size_t a, b;
     neighbours(i, width, &a, &b);
@@ -344,7 +355,8 @@ void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
 int decompress_channel(uint32_t width, uint32_t height,
                        const CodingParams& params, BitSource& src,
                        int32_t* out, bool bucketed_k = false,
-                       uint32_t pre_bits = 32, bool pre_signed = false) {
+                       uint32_t pre_bits = 32, bool pre_signed = false,
+                       const uint32_t* prior = nullptr) {
   int32_t pixel1, pixel2;
   uint32_t raw1, raw2;
   if (!src.get(pre_bits, &raw1) || !src.get(pre_bits, &raw2)) return FEL_EIO;
@@ -368,7 +380,7 @@ int decompress_channel(uint32_t width, uint32_t height,
   out[0] = pixel1;
   out[1] = pixel2;
 
-  KEstimator estimator(params);
+  KEstimator estimator(params, prior);
   for (size_t i = 2; i < total; ++i) {
     size_t a, b;
     neighbours(i, width, &a, &b);
@@ -581,6 +593,12 @@ int fel_decompress(const uint8_t* data, size_t len, int32_t** out_pixels,
 namespace {
 
 constexpr size_t kTiledFixedHeader = 24;
+// FLCT v2 header flags + prior weight (spec: felics_tpu/parallel/tiling.py;
+// must match tiling.FLAG_TABLE_U16 / FLAG_K_PRIOR / PRIOR_WEIGHT).
+constexpr uint16_t kFlagTableU16 = 0x0001;
+constexpr uint16_t kFlagKPrior = 0x0002;
+constexpr uint16_t kKnownFlags = kFlagTableU16 | kFlagKPrior;
+constexpr uint32_t kPriorWeight = 4;
 
 void write_u16be(std::vector<uint8_t>& out, uint16_t v) {
   out.push_back(static_cast<uint8_t>(v >> 8));
@@ -666,23 +684,89 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
   // spec in felics_tpu/parallel/tiling.py).
   CodingParams tiled_params = params;
   tiled_params.halve_at = 0;
+  const int nb = 32 - __builtin_clz(params.max_context) + 1;
+  const int K = params.num_k;
+  const size_t tsz = static_cast<size_t>(th) * tw;
 
-  std::vector<std::vector<uint8_t>> streams(n_tiles);
+  // Pass 1 (parallel): extract planes once, accumulate per-tile Rice-length
+  // sums per (channel, bucket, k) for the per-image k0 prior (exact uint64,
+  // matching felics_tpu.parallel.tiling.compute_k0 bit for bit).
+  std::vector<int32_t> all_planes(n_tiles * nchan * tsz);
+  std::vector<uint64_t> stats(static_cast<size_t>(n_tiles) * nchan * nb * K,
+                              0);
   run_on_pool(n_threads, n_tiles, [&](size_t t) {
     const uint32_t tyi = static_cast<uint32_t>(t) / tx_n;
     const uint32_t txi = static_cast<uint32_t>(t) % tx_n;
-    std::vector<int32_t> plane(static_cast<size_t>(th) * tw);
+    uint64_t* st = stats.data() + t * nchan * nb * K;
+    for (int c = 0; c < nchan; ++c) {
+      int32_t* plane = all_planes.data() + (t * nchan + c) * tsz;
+      tile_plane(pixels, width, height, nchan, c, tyi, txi, th, tw, plane);
+      for (size_t i = 2; i < tsz; ++i) {
+        size_t a, b;
+        neighbours(i, tw, &a, &b);
+        const int32_t p = plane[i];
+        const int32_t v1 = plane[a], v2 = plane[b];
+        const int32_t h = v1 > v2 ? v1 : v2;
+        const int32_t l = v1 < v2 ? v1 : v2;
+        if (p >= l && p <= h) continue;
+        const uint32_t ctx = static_cast<uint32_t>(h - l);
+        const uint32_t bucket = ctx == 0 ? 0 : 32 - __builtin_clz(ctx);
+        const uint32_t res =
+            p < l ? static_cast<uint32_t>(l - p - 1)
+                  : static_cast<uint32_t>(p - h - 1);
+        uint64_t* row = st + (static_cast<size_t>(c) * nb + bucket) * K;
+        for (int ki = 0; ki < K; ++ki)
+          row[ki] += (res >> params.k_values[ki]) + 1 + params.k_values[ki];
+      }
+    }
+  });
+
+  // Reduce, pick k0 per (channel, bucket): ties/all-zero -> largest k.
+  std::vector<uint8_t> k0(static_cast<size_t>(nchan) * nb, 0);
+  std::vector<uint32_t> prior(static_cast<size_t>(nchan) * nb * K, 0);
+  for (int c = 0; c < nchan; ++c) {
+    for (int b = 0; b < nb; ++b) {
+      uint64_t best_v = UINT64_MAX;
+      int best = 0;
+      for (int ki = 0; ki < K; ++ki) {
+        uint64_t tot = 0;
+        for (uint32_t t = 0; t < n_tiles; ++t)
+          tot += stats[(static_cast<size_t>(t) * nchan + c) * nb * K +
+                       static_cast<size_t>(b) * K + ki];
+        if (tot <= best_v) {  // '<=': ties pick the largest k
+          best_v = tot;
+          best = ki;
+        }
+      }
+      k0[static_cast<size_t>(c) * nb + b] = params.k_values[best];
+      for (int ki = 0; ki < K; ++ki) {
+        const int d = static_cast<int>(params.k_values[ki]) -
+                      static_cast<int>(params.k_values[best]);
+        prior[(static_cast<size_t>(c) * nb + b) * K + ki] =
+            kPriorWeight * static_cast<uint32_t>(d < 0 ? -d : d);
+      }
+    }
+  }
+
+  // Pass 2 (parallel): encode every tile with the shared prior.
+  std::vector<std::vector<uint8_t>> streams(n_tiles);
+  run_on_pool(n_threads, n_tiles, [&](size_t t) {
     BitSink sink(&streams[t]);
     for (int c = 0; c < nchan; ++c) {
-      tile_plane(pixels, width, height, nchan, c, tyi, txi, th, tw,
-                 plane.data());
+      const int32_t* plane = all_planes.data() + (t * nchan + c) * tsz;
       const uint32_t pre =
           (pixel_depth == kDepth8 ? 8u : 16u) + (c > 0 ? 1u : 0u);
-      compress_channel(plane.data(), tw, th, tiled_params, sink,
-                       /*bucketed_k=*/true, pre);
+      compress_channel(plane, tw, th, tiled_params, sink,
+                       /*bucketed_k=*/true, pre,
+                       prior.data() + static_cast<size_t>(c) * nb * K);
     }
     sink.byte_align();
   });
+
+  size_t max_len = 0;
+  for (const auto& s : streams) max_len = std::max(max_len, s.size());
+  uint16_t flags = n_tiles ? kFlagKPrior : 0;
+  if (max_len < (1u << 16)) flags |= kFlagTableU16;
 
   std::vector<uint8_t> buf;
   const uint8_t magic[4] = {'F', 'L', 'C', 'T'};
@@ -693,9 +777,21 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
   write_u32be(buf, height);
   write_u16be(buf, static_cast<uint16_t>(tw));
   write_u16be(buf, static_cast<uint16_t>(th));
-  write_u16be(buf, 0);  // flags
+  write_u16be(buf, n_tiles ? flags : 0);
   write_u32be(buf, n_tiles);
-  for (const auto& s : streams) write_u32be(buf, static_cast<uint32_t>(s.size()));
+  if (n_tiles) {  // k-prior nibbles, channel-major, high nibble first
+    for (size_t i = 0; i < k0.size(); i += 2) {
+      const uint8_t hi = k0[i] & 0x0F;
+      const uint8_t lo = i + 1 < k0.size() ? (k0[i + 1] & 0x0F) : 0;
+      buf.push_back(static_cast<uint8_t>((hi << 4) | lo));
+    }
+  }
+  for (const auto& s : streams) {
+    if (flags & kFlagTableU16)
+      write_u16be(buf, static_cast<uint16_t>(s.size()));
+    else
+      write_u32be(buf, static_cast<uint32_t>(s.size()));
+  }
   for (const auto& s : streams) buf.insert(buf.end(), s.begin(), s.end());
 
   uint8_t* result = static_cast<uint8_t*>(malloc(buf.size() ? buf.size() : 1));
@@ -721,13 +817,37 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
   const uint32_t th = (data[16] << 8) | data[17];
   const uint32_t flags = (data[18] << 8) | data[19];
   const uint32_t n_tiles = read_u32be(data + 20);
-  if (flags != 0) return FEL_EINVALID_VALUE;
-  if (len < kTiledFixedHeader + 4ull * n_tiles) return FEL_EIO;
+  if (flags & ~kKnownFlags) return FEL_EINVALID_VALUE;
 
   const uint64_t total64 = static_cast<uint64_t>(w) * h;
   if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
   const int nchan = color == kColorGray ? 1 : 3;
   const CodingParams params = params_for_depth(depth);
+  const int nb = 32 - __builtin_clz(params.max_context) + 1;
+  const int K = params.num_k;
+
+  // Optional k-prior block, then the tile length table (u16 or u32).
+  size_t pos = kTiledFixedHeader;
+  std::vector<uint32_t> prior;  // (nchan * nb * K); empty = zero seed
+  if (flags & kFlagKPrior) {
+    const size_t nbytes = (static_cast<size_t>(nchan) * nb + 1) / 2;
+    if (len < pos + nbytes) return FEL_EIO;
+    prior.assign(static_cast<size_t>(nchan) * nb * K, 0);
+    for (size_t i = 0; i < static_cast<size_t>(nchan) * nb; ++i) {
+      uint32_t k0 = (i % 2 == 0) ? (data[pos + i / 2] >> 4)
+                                 : (data[pos + i / 2] & 0x0F);
+      const uint32_t kmax = params.k_values[K - 1];
+      if (k0 > kmax) k0 = kmax;  // corrupt nibble: clamp (prior-only effect)
+      for (int ki = 0; ki < K; ++ki) {
+        const int d =
+            static_cast<int>(params.k_values[ki]) - static_cast<int>(k0);
+        prior[i * K + ki] = kPriorWeight * static_cast<uint32_t>(d < 0 ? -d : d);
+      }
+    }
+    pos += nbytes;
+  }
+  const size_t entry = (flags & kFlagTableU16) ? 2 : 4;
+  if (len < pos + entry * n_tiles) return FEL_EIO;
 
   int32_t* result = static_cast<int32_t*>(
       malloc(total64 ? total64 * nchan * sizeof(int32_t) : 4));
@@ -751,11 +871,15 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
 
   // Per-tile payload offsets.
   std::vector<size_t> starts(n_tiles + 1, 0);
-  const uint8_t* table = data + kTiledFixedHeader;
+  const uint8_t* table = data + pos;
   for (uint32_t t = 0; t < n_tiles; ++t)
-    starts[t + 1] = starts[t] + read_u32be(table + 4ull * t);
-  const uint8_t* payload = table + 4ull * n_tiles;
-  if (len < kTiledFixedHeader + 4ull * n_tiles + starts[n_tiles]) {
+    starts[t + 1] =
+        starts[t] + (entry == 2
+                         ? ((static_cast<uint32_t>(table[2 * t]) << 8) |
+                            table[2 * t + 1])
+                         : read_u32be(table + 4ull * t));
+  const uint8_t* payload = table + entry * n_tiles;
+  if (len < pos + entry * n_tiles + starts[n_tiles]) {
     free(result);
     return FEL_EIO;
   }
@@ -777,7 +901,11 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
       int st = decompress_channel(tw, th, tiled_params, src,
                                   planes.data() + c * tsz,
                                   /*bucketed_k=*/true, pre,
-                                  /*pre_signed=*/c > 0);
+                                  /*pre_signed=*/c > 0,
+                                  prior.empty()
+                                      ? nullptr
+                                      : prior.data() +
+                                            static_cast<size_t>(c) * nb * K);
       if (st != FEL_OK) {
         statuses[t] = st;
         return;

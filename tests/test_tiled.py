@@ -64,7 +64,26 @@ def test_header_fields(rng):
     assert (hdr.width, hdr.height) == (40, 24)
     assert (hdr.tile_w, hdr.tile_h) == (16, 16)
     assert hdr.n_tiles == 2 * 3  # ceil(24/16) x ceil(40/16)
-    assert hdr.tile_lengths.sum() + _FIXED_HEADER.size + 4 * hdr.n_tiles == len(data)
+    assert hdr.tile_lengths.sum() + hdr.payload_off == len(data)
+    # v2: u16 length table + k-prior block (1 channel x 10 buckets -> 5 B)
+    from felics_tpu.parallel.tiling import FLAG_K_PRIOR, FLAG_TABLE_U16
+
+    assert hdr.flags == FLAG_TABLE_U16 | FLAG_K_PRIOR
+    assert hdr.k0.shape == (1, 10)
+    assert hdr.payload_off == _FIXED_HEADER.size + 5 + 2 * hdr.n_tiles
+
+
+def test_legacy_v0_streams_decode(rng):
+    """k_prior=False emits a flags=0 (v0) container that decodes exactly."""
+    img = smooth_image(rng, 48, 40, np.uint8)
+    v0 = compress_tiled_bytes(img, TILE16, k_prior=False)
+    hdr = read_tiled_header(v0)
+    assert hdr.flags == 0 and hdr.k0 is None
+    assert hdr.payload_off == _FIXED_HEADER.size + 4 * hdr.n_tiles
+    np.testing.assert_array_equal(decompress_tiled_bytes(v0), img)
+    # the prior strictly helps on adapted content: v2 is never larger here
+    v2 = compress_tiled_bytes(img, TILE16)
+    assert len(v2) <= len(v0)
 
 
 def test_degenerate_dims():
@@ -75,9 +94,10 @@ def test_degenerate_dims():
         np.testing.assert_array_equal(out, img)
 
 
-def scalar_decode_tile_stream(tile_bytes, th, tw, channels, cfg):
+def scalar_decode_tile_stream(tile_bytes, th, tw, channels, cfg, prior=None):
     """Independent scalar decode of one tile stream (oracle, bucketed k,
-    depth-sized preamble: plane 0 unsigned depth bits, Co/Cg signed +1)."""
+    depth-sized preamble: plane 0 unsigned depth bits, Co/Cg signed +1;
+    ``prior``: (C, nb, K) v2 k-table seed or None)."""
     reader = BitReader(tile_bytes)
     planes = []
     for ch in range(channels):
@@ -86,6 +106,7 @@ def scalar_decode_tile_stream(tile_bytes, th, tw, channels, cfg):
                 tw, th, cfg, reader, bucketed_k=True,
                 pre_bits=cfg.depth_bits + (1 if ch > 0 else 0),
                 pre_signed=ch > 0,
+                prior=None if prior is None else prior[ch],
             )
         )
     return planes
@@ -94,6 +115,8 @@ def scalar_decode_tile_stream(tile_bytes, th, tw, channels, cfg):
 @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
 def test_scalar_cross_validation(rng, dtype):
     """The vectorized tile streams decode identically with the Python oracle."""
+    from felics_tpu.parallel.tiling import prior_from_k0
+
     img = smooth_image(rng, 35, 21, dtype, channels=3)
     data = compress_tiled_bytes(img, TILE16)
     hdr = read_tiled_header(data)
@@ -101,15 +124,16 @@ def test_scalar_cross_validation(rng, dtype):
     th, tw = hdr.tile_h, hdr.tile_w
     ty = -(-hdr.height // th)
     tx = -(-hdr.width // tw)
+    prior = prior_from_k0(hdr.k0, cfg, 3)
 
-    payload_off = _FIXED_HEADER.size + 4 * hdr.n_tiles
+    payload_off = hdr.payload_off
     offsets = np.concatenate([[0], np.cumsum(hdr.tile_lengths)])
     full = decompress_tiled_bytes(data)
 
     # scalar-decode every tile and compare against the full decode
     for t in range(hdr.n_tiles):
         tile_data = data[payload_off + offsets[t] : payload_off + offsets[t + 1]]
-        planes = scalar_decode_tile_stream(tile_data, th, tw, 3, cfg)
+        planes = scalar_decode_tile_stream(tile_data, th, tw, 3, cfg, prior)
         r, g, b = ycocg_to_rgb(
             planes[0].astype(np.int32).reshape(th, tw),
             planes[1].astype(np.int32).reshape(th, tw),
@@ -128,7 +152,7 @@ def test_tile_independence(rng):
     img = smooth_image(rng, 48, 48, np.uint8)
     data = compress_tiled_bytes(img, TILE16)
     hdr = read_tiled_header(data)
-    payload_off = _FIXED_HEADER.size + 4 * hdr.n_tiles
+    payload_off = hdr.payload_off
     offsets = np.concatenate([[0], np.cumsum(hdr.tile_lengths)])
     # corrupt a byte in the middle of tile 4 (interior tile)
     bad = bytearray(data)
