@@ -117,6 +117,16 @@ def tpu_bench(images):
     n_tiles, c, t = tiles_np.shape
     pixels = tiles_np.size
 
+    # Per-image k-prior seeds, expanded per tile — the production v2
+    # container seeds every tile's k-table this way, so the kernel bench
+    # measures the same program the container path runs.
+    priors = []
+    for tb in tile_batches:
+        k0 = tiling.compute_k0(tb, th, tw, cfg, nb)
+        p = tiling.prior_from_k0(k0, cfg, c)  # (C, nb, K)
+        priors.append(np.broadcast_to(p[None], (tb.shape[0],) + p.shape))
+    prior_j = jnp.asarray(np.concatenate(priors))  # (n_tiles, C, nb, K)
+
     from felics_tpu.utils.timing import _sync, fetch_rtt
 
     # min-of-N timings pair with the min RTT sample (subtracting the median
@@ -136,7 +146,7 @@ def tpu_bench(images):
 
     def encode_once(tiles_ls):
         return pc._encode_tiles_pallas(
-            tiles_ls, *meta, th, tw, c, W, cfg, False
+            tiles_ls, *meta, prior_j, th, tw, c, W, cfg, False
         )
 
     # The tunneled platform can serve repeated identical executions from a
@@ -189,7 +199,9 @@ def tpu_bench(images):
     dec_inputs = [cols_of(w_, b_, wd) for (w_, b_) in enc_results]
 
     def decode_once(cols):
-        return pc._decode_tiles_pallas(cols, *meta, th, tw, c, cfg, False)
+        return pc._decode_tiles_pallas(
+            cols, *meta, prior_j, th, tw, c, cfg, False
+        )
 
     # Warm/compile on a DISTINCT input (the variants[0] warm-encode result):
     # the tunneled platform can serve repeated identical executions from a
@@ -215,6 +227,44 @@ def tpu_bench(images):
     return mpxs, t_enc, t_dec, ratio, n_tiles, pixels
 
 
+def container_bench(images, engine="pallas"):
+    """End-to-end container throughput: images in, FLCT bytes out, images
+    back — through the batched serving API (parallel.batch), including
+    host-side k-prior computation, header pack/parse, payload compaction,
+    and device transfers (VERDICT r2 asked for container-level timing
+    alongside the kernel-only number). No RTT correction: host<->device
+    syncs are part of the product here.
+    """
+    from felics_tpu.config import TileConfig
+    from felics_tpu.parallel.batch import (
+        compress_tiled_batch,
+        decompress_tiled_batch,
+    )
+
+    tc = TileConfig(tile_h=TILE, tile_w=TILE)
+    pixels = sum(im.size for im in images)
+    best_enc = best_dec = float("inf")
+    # warm pass (also compiles both kernels at the batch shapes)
+    decompress_tiled_batch(compress_tiled_batch(images, tc, engine), engine)
+    for it in range(1, 4):
+        # distinct inputs per iteration (tunnel executable cache, r1 advice)
+        vs = []
+        for im in images:
+            v = im.copy()
+            v[0, 2] = (int(v[0, 2]) + it) % 255
+            vs.append(v)
+        t0 = time.perf_counter()
+        blobs = compress_tiled_batch(vs, tc, engine)
+        t1 = time.perf_counter()
+        outs = decompress_tiled_batch(blobs, engine)
+        t2 = time.perf_counter()
+        for v, o in zip(vs, outs):
+            assert np.array_equal(v, o), "container round-trip mismatch"
+        best_enc = min(best_enc, t1 - t0)
+        best_dec = min(best_dec, t2 - t1)
+    return 2 * pixels / (best_enc + best_dec) / 1e6, best_enc, best_dec
+
+
 def flcs_interop_check(images):
     from felics_tpu.api import compress_image_bytes
 
@@ -227,11 +277,15 @@ def main():
     images = load_batch()
     base_mpxs, _ = native_baseline(images)
     mpxs, t_enc, t_dec, ratio, n_tiles, pixels = tpu_bench(images)
+    cont_mpxs, c_enc, c_dec = container_bench(images)
     flcs_interop_check(images)
     result = {
         "metric": "FLCT tiled encode+decode throughput, 1 TPU chip "
         f"({len(images)}x512x512 gray8, tile {TILE}, ratio {ratio:.3f}, "
-        f"enc {t_enc*1e3:.0f}ms dec {t_dec*1e3:.0f}ms, "
+        f"enc {t_enc*1e3:.0f}ms dec {t_dec*1e3:.0f}ms; "
+        f"container-level {cont_mpxs:.1f} Mpx/s "
+        f"[{cont_mpxs/base_mpxs:.1f}x, enc {c_enc*1e3:.0f}ms "
+        f"dec {c_dec*1e3:.0f}ms]; "
         f"native-C++-1core baseline {base_mpxs:.1f} Mpx/s)",
         "value": round(mpxs, 2),
         "unit": "Mpx/s",

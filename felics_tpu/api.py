@@ -73,6 +73,28 @@ def _resolve_backend(backend: str, for_encode: bool):
     return backend
 
 
+def _flct_backend(backend: str) -> str:
+    """Backend choice for the tiled (FLCT) container.
+
+    FLCT is the TPU-parallel format, so ``auto`` routes to the jax/Pallas
+    pipeline whenever a TPU backend is live; the threaded C++ codec is the
+    CPU-host default. ``oracle`` has no tiled implementation and falls
+    through to the jax (XLA) pipeline, which is byte-identical.
+    """
+    if backend in ("jax", "native"):
+        return backend
+    if backend == "auto":
+        from felics_tpu.ops import pallas_codec
+
+        if pallas_codec.on_tpu():
+            return "jax"
+        from felics_tpu.native import runtime as native_runtime
+
+        if native_runtime.available():
+            return "native"
+    return "jax"
+
+
 def compress_image(
     image: np.ndarray,
     to: BinaryIO,
@@ -98,7 +120,7 @@ def compress_image_bytes(
         from felics_tpu.config import TileConfig
 
         tile_cfg = tile or TileConfig()
-        if _resolve_backend(backend, for_encode=True) == "native" and backend != "jax":
+        if _flct_backend(backend) == "native":
             from felics_tpu.native import runtime as native_runtime
 
             return native_runtime.compress_tiled(
@@ -151,7 +173,7 @@ def decompress_image(from_: BinaryIO, backend: str = "auto") -> np.ndarray:
 
 def decompress_image_bytes(data: bytes, backend: str = "auto") -> np.ndarray:
     if data[:4] == b"FLCT":
-        if _resolve_backend(backend, for_encode=False) == "native" and backend != "jax":
+        if _flct_backend(backend) == "native":
             from felics_tpu.native import runtime as native_runtime
 
             return native_runtime.decompress_tiled(data)

@@ -97,6 +97,9 @@ def bench_png_decompress(out_dir):
 
 
 def main(argv=None) -> int:
+    from felics_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # CLI processes are one-shot: reuse compiled kernels
     parser = argparse.ArgumentParser(
         prog="bfelics", description="Cross-format corpus benchmark"
     )

@@ -14,6 +14,9 @@ import sys
 
 
 def main(argv=None) -> int:
+    from felics_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()  # CLI processes are one-shot: reuse compiled kernels
     parser = argparse.ArgumentParser(
         prog="cfelics", description="Compresses an image file to a felics file"
     )

@@ -15,19 +15,18 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from felics_tpu.config import TileConfig, tiled_config_for_depth
-from felics_tpu.format import ColorType, PixelDepth
-from felics_tpu.ops import bitpack
+from felics_tpu.format import PixelDepth
 from felics_tpu.ops.kscan_tiled import num_buckets
 from felics_tpu.parallel import tiling
 
 
 def compress_tiled_batch(
-    images: Sequence[np.ndarray], tile: Optional[TileConfig] = None
+    images: Sequence[np.ndarray],
+    tile: Optional[TileConfig] = None,
+    engine: str = "auto",
 ) -> List[bytes]:
     from felics_tpu.api import header_for_array
 
@@ -42,7 +41,7 @@ def compress_tiled_batch(
     th, tw = tile.tile_h, tile.tile_w
     if any(h.height < th or h.width < tw for h in headers):
         # Mixed clamping would break tile uniformity; fall back per-image.
-        return [tiling.compress_tiled_bytes(im, tile) for im in images]
+        return [tiling.compress_tiled_bytes(im, tile, engine) for im in images]
 
     cfg = tiled_config_for_depth(depth)
     nb = num_buckets(cfg)
@@ -52,30 +51,18 @@ def compress_tiled_batch(
     ]
     counts = [p[0].shape[0] for p in parts]
     c = parts[0][0].shape[1]
-    # Per-image k-priors, expanded per tile for the fused stage2.
+    # Per-image k-priors, expanded per tile for the shared encode helper
+    # (Pallas fused kernels on TPU, the XLA pipeline elsewhere).
     k0s = [
         tiling.compute_k0(p[0], th, tw, cfg, nb) for p in parts
     ]
     priors = np.stack([tiling.prior_from_k0(k0, cfg, c) for k0 in k0s])
     tile_group = np.repeat(np.arange(len(images)), counts)
-    prior_nt = jnp.asarray(priors[tile_group])
-    tiles = jnp.asarray(np.concatenate([p[0] for p in parts]))
+    tiles_np = np.concatenate([p[0] for p in parts])
 
-    (context, low, oor, residual, in_range, above, qctx) = (
-        tiling._tiled_stage1(tiles, th, tw, nb)
+    lengths, payload = tiling.encode_tiles_payload(
+        tiles_np, priors[tile_group], cfg, th, tw, engine
     )
-    flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, prior_nt,
-        th, tw, cfg, nb,
-    )
-    n_big = bitpack.count_big_symbols(flat)
-    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
-    b_pad = bitpack.bucket_bits(total * 8)
-    n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
-    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
-
-    lengths = np.asarray(tile_bytes, dtype=np.int64)
-    payload = np.asarray(packed[:total]).tobytes()
     tile_pos = np.concatenate([[0], np.cumsum(lengths)])
 
     out: List[bytes] = []
@@ -93,7 +80,9 @@ def compress_tiled_batch(
     return out
 
 
-def decompress_tiled_batch(datas: Sequence[bytes]) -> List[np.ndarray]:
+def decompress_tiled_batch(
+    datas: Sequence[bytes], engine: str = "auto"
+) -> List[np.ndarray]:
     if not datas:
         return []
     headers = [tiling.read_tiled_header(d) for d in datas]
@@ -103,42 +92,26 @@ def decompress_tiled_batch(datas: Sequence[bytes]) -> List[np.ndarray]:
         != (h0.tile_h, h0.tile_w, h0.pixel_depth, h0.color_type)
         for h in headers
     ) or any(h.n_tiles == 0 for h in headers):
-        return [tiling.decompress_tiled_bytes(d) for d in datas]
+        return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
 
     cfg = tiled_config_for_depth(h0.pixel_depth)
-    nb = num_buckets(cfg)
     th, tw, c = h0.tile_h, h0.tile_w, h0.num_channels
 
-    payload_parts = []
-    starts_list = []
-    base_bits = 0
-    for d, h in zip(datas, headers):
-        payload = np.frombuffer(d[h.payload_off :], dtype=np.uint8)
-        pad = (-len(payload)) % 4
-        if pad:
-            payload = np.concatenate([payload, np.zeros(pad, np.uint8)])
-        tile_starts = (
-            np.concatenate([[0], np.cumsum(h.tile_lengths)[:-1]]) * 8 + base_bits
-        )
-        starts_list.append(tile_starts)
-        payload_parts.append(payload)
-        base_bits += len(payload) * 8
-
-    arr = np.concatenate(payload_parts)
-    w32 = arr.reshape(-1, 4).astype(np.uint32)
-    words = jnp.asarray(
-        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+    # Exact per-tile stream concatenation (container payloads may carry
+    # trailing bytes; slice each to its tile-table total).
+    payload = b"".join(
+        d[h.payload_off : h.payload_off + int(h.tile_lengths.sum())]
+        for d, h in zip(datas, headers)
     )
-    starts = jnp.asarray(np.concatenate(starts_list).astype(np.int32))
+    lens = np.concatenate([h.tile_lengths for h in headers])
     priors = np.stack(
         [tiling.prior_from_k0(h.k0, cfg, c) for h in headers]
     )
     tile_group = np.repeat(
         np.arange(len(headers)), [h.n_tiles for h in headers]
     )
-    bufs = tiling._decode_tiles(
-        words, starts, th, tw, c, cfg, nb,
-        jnp.asarray(priors), jnp.asarray(tile_group, jnp.int32),
+    bufs = tiling.decode_tiles_bufs(
+        payload, lens, th, tw, c, cfg, priors, tile_group, engine
     )
 
     depth_max = 255 if h0.pixel_depth == PixelDepth.EIGHT else 65535

@@ -438,6 +438,89 @@ def _disable_pallas(kind: str, key: tuple, exc: Exception) -> None:
     )
 
 
+def encode_tiles_payload(
+    tiles_np: np.ndarray,
+    prior_np: np.ndarray,
+    cfg: CodingConfig,
+    th: int,
+    tw: int,
+    engine: str = "auto",
+) -> Tuple[np.ndarray, bytes]:
+    """Engine-routed tile encoding shared by the per-image and batched APIs.
+
+    tiles_np: (n_tiles, C, T) int32; prior_np: (C, nb, K) shared or
+    (n_tiles, C, nb, K) per-tile k-table seed. Returns (per-tile byte
+    lengths int64, concatenated payload bytes). Explicit ``engine="pallas"``
+    raises ValueError when the shape cannot fit the VMEM kernel plan.
+    """
+    from felics_tpu.ops import pallas_codec
+
+    nt, c, t = tiles_np.shape
+    nb = num_buckets(cfg)
+    wcap = pallas_codec.encode_width_bound(cfg, t, c)
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    plan_ok = pallas_codec.kernel_plan(
+        cfg, th, tw, c, min(wcap, pallas_codec.width_hint(cfg, t, c))
+    )
+    if engine == "pallas" and not plan_ok:
+        raise ValueError(
+            f"engine='pallas': {th}x{tw} tiles with {c} channel(s) exceed "
+            "the VMEM kernel plan; use a smaller tile or engine='xla'/'auto'"
+        )
+    if (
+        _resolve_engine(engine) == "pallas"
+        and _pallas_usable("encode", enc_key)
+        and plan_ok
+    ):
+        # Tight self-tuned capacity first; retry at the pessimistic bound on
+        # overflow (detected exactly: the kernel reports true bit lengths).
+        for wtry in dict.fromkeys(
+            [pallas_codec.width_hint(cfg, t, c), wcap]
+        ):
+            if not pallas_codec.kernel_plan(cfg, th, tw, c, wtry):
+                break
+            try:
+                words, bits = pallas_codec.encode_tiles(
+                    tiles_np, cfg, th, tw, wtry, prior_np
+                )
+                bits_np = np.asarray(bits).astype(np.int64)
+            except Exception as e:  # Mosaic compile/run failure -> XLA
+                if engine == "pallas":
+                    raise
+                _disable_pallas("encode", enc_key, e)
+                break
+            max_bits = int(bits_np.max())
+            if max_bits > wtry * 32:
+                continue
+            pallas_codec.observe_width(cfg, t, c, max_bits)
+            tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
+            payload_b = _columns_to_payload(np.asarray(words), tile_bytes_np)
+            return tile_bytes_np, payload_b
+        # pathological stream exceeded the fast-path word budget: fall back
+
+    tiles = jnp.asarray(tiles_np)
+    prior = jnp.asarray(prior_np)
+    if prior.ndim == 3:
+        prior = jnp.broadcast_to(prior[None], (nt, c, nb, cfg.num_k))
+
+    (context, low, oor, residual, in_range, above, qctx) = (
+        _tiled_stage1(tiles, th, tw, nb)
+    )
+    flat, offsets, tile_bytes, total_bytes = _tiled_stage2(
+        tiles, context, low, oor, residual, in_range, above, qctx, prior,
+        th, tw, cfg, nb,
+    )
+    n_big = bitpack.count_big_symbols(flat)
+    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
+    b_pad = bitpack.bucket_bits(total * 8)
+    n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
+    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
+
+    tile_bytes_np = np.asarray(tile_bytes, dtype=np.int64)
+    payload = np.asarray(packed[:total]).tobytes()
+    return tile_bytes_np, payload
+
+
 def compress_tiled_bytes(
     image: np.ndarray,
     tile: Optional[TileConfig] = None,
@@ -485,64 +568,10 @@ def compress_tiled_bytes(
             tile_bytes_np, payload_b, k0,
         )
 
-    from felics_tpu.ops import pallas_codec
-
-    wcap = pallas_codec.encode_width_bound(cfg, t, c)
-    enc_key = (th, tw, c, cfg.pixel_depth)
-    if (
-        _resolve_engine(engine) == "pallas"
-        and _pallas_usable("encode", enc_key)
-        and pallas_codec.kernel_plan(
-            cfg, th, tw, c, min(wcap, pallas_codec.width_hint(cfg, t, c))
-        )
-    ):
-        # Tight self-tuned capacity first; retry at the pessimistic bound on
-        # overflow (detected exactly: the kernel reports true bit lengths).
-        for wtry in dict.fromkeys(
-            [pallas_codec.width_hint(cfg, t, c), wcap]
-        ):
-            if not pallas_codec.kernel_plan(cfg, th, tw, c, wtry):
-                break
-            try:
-                words, bits = pallas_codec.encode_tiles(
-                    tiles_np, cfg, th, tw, wtry, prior_np
-                )
-                bits_np = np.asarray(bits).astype(np.int64)
-            except Exception as e:  # Mosaic compile/run failure -> XLA
-                if engine == "pallas":
-                    raise
-                _disable_pallas("encode", enc_key, e)
-                break
-            max_bits = int(bits_np.max())
-            if max_bits > wtry * 32:
-                continue
-            pallas_codec.observe_width(cfg, t, c, max_bits)
-            tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
-            payload_b = _columns_to_payload(np.asarray(words), tile_bytes_np)
-            return pack(tile_bytes_np, payload_b)
-        # pathological stream exceeded the fast-path word budget: fall back
-
-    tiles = jnp.asarray(tiles_np)
-    prior = jnp.broadcast_to(
-        jnp.asarray(prior_np)[None], (nt, c, nb, cfg.num_k)
+    tile_bytes_np, payload_b = encode_tiles_payload(
+        tiles_np, prior_np, cfg, th, tw, engine
     )
-
-    (context, low, oor, residual, in_range, above, qctx) = (
-        _tiled_stage1(tiles, th, tw, nb)
-    )
-    flat, offsets, tile_bytes, total_bytes = _tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, prior,
-        th, tw, cfg, nb,
-    )
-    n_big = bitpack.count_big_symbols(flat)
-    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
-    b_pad = bitpack.bucket_bits(total * 8)
-    n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
-    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
-
-    tile_bytes_np = np.asarray(tile_bytes, dtype=np.int64)
-    payload = np.asarray(packed[:total]).tobytes()
-    return pack(tile_bytes_np, payload)
+    return pack(tile_bytes_np, payload_b)
 
 
 # ---------------------------------------------------------------------------
@@ -789,6 +818,73 @@ def _assemble_image(
     return out.astype(dtype), valid
 
 
+def decode_tiles_bufs(
+    payload: bytes,
+    lens: np.ndarray,
+    th: int,
+    tw: int,
+    c: int,
+    cfg: CodingConfig,
+    prior_np: np.ndarray,
+    tile_group: Optional[np.ndarray] = None,
+    engine: str = "auto",
+):
+    """Engine-routed tile decoding shared by the per-image and batched APIs.
+
+    payload: concatenated per-tile byte streams (exactly sum(lens) bytes
+    meaningful); lens: (n_tiles,) payload bytes per tile; prior_np:
+    (G, C, nb, K) k-table seeds with ``tile_group`` (n_tiles,) indexing G
+    (None = all tiles group 0). Returns (n_tiles, C, T) int32 device array.
+    Explicit ``engine="pallas"`` raises ValueError on VMEM-infeasible shapes.
+    """
+    from felics_tpu.ops import pallas_codec
+
+    nb = num_buckets(cfg)
+    lens = np.asarray(lens, np.int64)
+    wd = pallas_codec.bucket_words(int(-(-(lens.max(initial=1)) // 4)))
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    fits = pallas_codec.decode_fits(c * th * tw, wd, c, cfg)
+    if engine == "pallas" and not fits:
+        raise ValueError(
+            f"engine='pallas': {th}x{tw} tiles with {c} channel(s) exceed "
+            "the VMEM decode plan; use engine='xla'/'auto'"
+        )
+    expected = int(lens.sum())
+    if (
+        _resolve_engine(engine) == "pallas"
+        and _pallas_usable("decode", dec_key)
+        and fits
+    ):
+        starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        cols = _payload_to_columns(payload[:expected], starts_b, lens, wd)
+        if tile_group is None or prior_np.shape[0] == 1:
+            pr = prior_np[0]  # shared (C, nb, K) seed
+        else:
+            pr = prior_np[np.asarray(tile_group)]  # per-tile (nt, C, nb, K)
+        try:
+            return pallas_codec.decode_tiles(
+                jnp.asarray(cols), cfg, th, tw, c, pr
+            )
+        except Exception as e:  # Mosaic compile/run failure -> XLA
+            if engine == "pallas":
+                raise
+            _disable_pallas("decode", dec_key, e)
+    arr = np.frombuffer(payload[:expected], dtype=np.uint8)
+    pad = (-len(arr)) % 4
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
+    w32 = arr.reshape(-1, 4).astype(np.uint32)
+    words = jnp.asarray(
+        (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
+    )
+    starts = (np.concatenate([[0], np.cumsum(lens)[:-1]]) * 8).astype(np.int32)
+    tg = None if tile_group is None else jnp.asarray(tile_group, jnp.int32)
+    return _decode_tiles(
+        words, jnp.asarray(starts), th, tw, c, cfg, nb,
+        jnp.asarray(prior_np), tg,
+    )
+
+
 def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     header = read_tiled_header(data)
     cfg = tiled_config_for_depth(header.pixel_depth)
@@ -812,41 +908,10 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     if len(payload) < expected:
         raise errors.IoError("truncated FLCT payload")
 
-    from felics_tpu.ops import pallas_codec
-
-    lens = header.tile_lengths.astype(np.int64)
-    wd = pallas_codec.bucket_words(int(-(-(lens.max()) // 4)))
-    dec_key = (th, tw, c, cfg.pixel_depth, wd)
-    bufs = None
-    if (
-        _resolve_engine(engine) == "pallas"
-        and _pallas_usable("decode", dec_key)
-        and pallas_codec.decode_fits(c * th * tw, wd, c, cfg)
-    ):
-        starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        cols = _payload_to_columns(payload[:expected], starts_b, lens, wd)
-        try:
-            bufs = pallas_codec.decode_tiles(
-                jnp.asarray(cols), cfg, th, tw, c, prior_np
-            )
-        except Exception as e:  # Mosaic compile/run failure -> XLA
-            if engine == "pallas":
-                raise
-            _disable_pallas("decode", dec_key, e)
-    if bufs is None:
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        pad = (-len(arr)) % 4
-        if pad:
-            arr = np.concatenate([arr, np.zeros(pad, np.uint8)])
-        w32 = arr.reshape(-1, 4).astype(np.uint32)
-        words = jnp.asarray(
-            (w32[:, 0] << 24) | (w32[:, 1] << 16) | (w32[:, 2] << 8) | w32[:, 3]
-        )
-        starts = np.concatenate([[0], np.cumsum(header.tile_lengths)[:-1]]) * 8
-        bufs = _decode_tiles(
-            words, jnp.asarray(starts, dtype=jnp.int32), th, tw, c, cfg, nb,
-            jnp.asarray(prior_np)[None],
-        )
+    bufs = decode_tiles_bufs(
+        payload, header.tile_lengths, th, tw, c, cfg, prior_np[None],
+        None, engine,
+    )
     depth_max = 255 if header.pixel_depth == PixelDepth.EIGHT else 65535
     out, valid = _assemble_image(
         bufs, th, tw, c, ty, tx, h, w, depth_max

@@ -116,3 +116,33 @@ def test_corpus_tiled_round_trip():
     flcs = compress_image_bytes(image, backend="native")
     # Tiled overhead within a few percent of the single-stream size.
     assert len(flct) < len(flcs) * 1.05
+
+
+@pytest.mark.skipif(not os.path.isdir(SUITE), reason="corpus not mounted")
+@pytest.mark.parametrize("tile", [64, 32])
+def test_size_budget_within_one_percent(tile):
+    """North-star budget: FLCT total within 1% of single-stream FLCS.
+
+    Runs the default tile (64) and the benched tile (32) over >=12 corpus
+    images through the native codec (byte-identical to the jax pipeline per
+    tests/test_native_tiled.py). The k-prior (v2) container is what keeps
+    tile 32 inside the budget (scripts/ratio_lab.py: +1.3% -> +0.6%)."""
+    from felics_tpu.config import TileConfig
+
+    root = os.path.join(SUITE, "grayscale/8bit")
+    files = sorted(f for f in os.listdir(root) if f.endswith(".tiff"))[:12]
+    assert len(files) >= 12
+    total_flcs = total_flct = 0
+    tc = TileConfig(tile_h=tile, tile_w=tile)
+    for name in files:
+        image = load_image(os.path.join(root, name))
+        total_flcs += len(compress_image_bytes(image, backend="native"))
+        total_flct += len(
+            compress_image_bytes(
+                image, backend="native", container="flct", tile=tc
+            )
+        )
+    assert total_flct <= total_flcs * 1.01, (
+        f"tile {tile}: FLCT total {total_flct} exceeds 1.01x FLCS total "
+        f"{total_flcs} (ratio {total_flct / total_flcs:.4f})"
+    )

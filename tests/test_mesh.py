@@ -63,13 +63,17 @@ def test_fused_encode_step_matches_dynamic(rng):
     cfg = tiled_config_for_depth(PixelDepth.EIGHT)
     nb = num_buckets(cfg)
     n_tiles, c, t = tiles.shape
+    # The default container is v2 (k-prior seeded): feed the fused step the
+    # same per-image prior so its payload matches byte-for-byte.
+    k0 = tiling.compute_k0(tiles, th, tw, cfg, nb)
+    prior = jax.numpy.asarray(tiling.prior_from_k0(k0, cfg, c))
     b_pad = worst_case_payload_bits(n_tiles, c, t, cfg)
     packed, tile_bytes, total = fused_encode_step(
-        jax.numpy.asarray(tiles), th, tw, cfg, nb, b_pad
+        jax.numpy.asarray(tiles), th, tw, cfg, nb, b_pad, prior
     )
     reference = tiling.compress_tiled_bytes(img, TILE16)
     hdr = tiling.read_tiled_header(reference)
     np.testing.assert_array_equal(np.asarray(tile_bytes), hdr.tile_lengths)
-    payload_ref = reference[tiling._FIXED_HEADER.size + 4 * hdr.n_tiles :]
+    payload_ref = reference[hdr.payload_off :]
     got = np.asarray(packed[: int(total)]).tobytes()
     assert got == payload_ref

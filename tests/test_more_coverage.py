@@ -115,4 +115,8 @@ def test_probe_both_containers(rng):
     info = felics_tpu.probe(flct)
     assert info["container"] == "flct"
     assert (info["width"], info["height"], info["n_tiles"]) == (24, 18, 4)
-    assert info["payload_bytes"] == len(flct) - 24 - 4 * 4
+    from felics_tpu.parallel import tiling
+
+    hdr = tiling.read_tiled_header(flct)
+    assert info["payload_bytes"] == len(flct) - hdr.payload_off
+    assert info["payload_bytes"] == int(hdr.tile_lengths.sum())

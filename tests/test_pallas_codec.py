@@ -52,17 +52,22 @@ def test_container_bytes_match_xla(shape, depth_max, tile, smooth):
 
 def test_kernel_streams_match_symbol_pipeline():
     """Per-tile stream words from the kernel == XLA per-tile byte streams."""
+    from felics_tpu.ops.kscan_tiled import num_buckets
+
     img = _image((32, 32), 255, 3, smooth=True)
     tc = TileConfig(tile_h=8, tile_w=8)
     blob = tiling.compress_tiled_bytes(img, tc, engine="xla")
     hdr = tiling.read_tiled_header(blob)
-    payload = blob[tiling._FIXED_HEADER.size + 4 * hdr.n_tiles :]
+    payload = blob[hdr.payload_off :]
 
     cfg = tiled_config_for_depth(PixelDepth.EIGHT)
     tiles_np, _, _ = tiling._prepare_tiles(img, ColorType.GRAY, 8, 8)
     nt, c, t = tiles_np.shape
+    # The default container seeds every tile's k-table from the per-image
+    # prior in the header; feed the kernel the same seed.
+    prior = tiling.prior_from_k0(hdr.k0, cfg, c)
     wcap = pc.encode_width_bound(cfg, t, c)
-    words, bits = pc.encode_tiles(tiles_np, cfg, 8, 8, wcap)
+    words, bits = pc.encode_tiles(tiles_np, cfg, 8, 8, wcap, prior)
     words_np, bits_np = np.asarray(words), np.asarray(bits)
 
     off = 0
@@ -81,8 +86,7 @@ def test_decode_tolerates_corrupt_columns():
     tc = TileConfig(tile_h=8, tile_w=8)
     blob = bytearray(tiling.compress_tiled_bytes(img, tc, engine="pallas"))
     hdr = tiling.read_tiled_header(bytes(blob))
-    payload_off = tiling._FIXED_HEADER.size + 4 * hdr.n_tiles
-    blob[payload_off + 3] ^= 0xFF
+    blob[hdr.payload_off + 3] ^= 0xFF
     try:
         out = tiling.decompress_tiled_bytes(bytes(blob), engine="pallas")
         assert out.shape == img.shape  # decoded-but-wrong is acceptable
@@ -92,11 +96,33 @@ def test_decode_tolerates_corrupt_columns():
         assert isinstance(exc, errors.DecompressionError)
 
 
-def test_vmem_guard_falls_back():
-    """Oversized tiles route to the XLA engine (one big tile > VMEM)."""
+def test_vmem_guard():
+    """Oversized tiles (one big tile > VMEM): explicit pallas raises; the
+    auto/xla engines still round-trip via the XLA pipeline."""
     img = _image((256, 256), 255, 11)
     tc = TileConfig(tile_h=256, tile_w=256)
-    blob = tiling.compress_tiled_bytes(img, tc, engine="pallas")
+    with pytest.raises(ValueError, match="VMEM"):
+        tiling.compress_tiled_bytes(img, tc, engine="pallas")
+    blob = tiling.compress_tiled_bytes(img, tc, engine="auto")
+    with pytest.raises(ValueError, match="VMEM"):
+        tiling.decompress_tiled_bytes(blob, engine="pallas")
     assert np.array_equal(
-        tiling.decompress_tiled_bytes(blob, engine="pallas"), img
+        tiling.decompress_tiled_bytes(blob, engine="auto"), img
     )
+
+
+def test_flct_backend_choice(monkeypatch):
+    """auto routes FLCT to the TPU pipeline when a TPU is live, to the
+    native C++ codec on a CPU host; explicit choices are honored."""
+    import felics_tpu.api as api
+    from felics_tpu.native import runtime as native_runtime
+    from felics_tpu.ops import pallas_codec
+
+    monkeypatch.setattr(pallas_codec, "on_tpu", lambda: True)
+    assert api._flct_backend("auto") == "jax"
+    monkeypatch.setattr(pallas_codec, "on_tpu", lambda: False)
+    expected = "native" if native_runtime.available() else "jax"
+    assert api._flct_backend("auto") == expected
+    assert api._flct_backend("jax") == "jax"
+    assert api._flct_backend("native") == "native"
+    assert api._flct_backend("oracle") == "jax"
