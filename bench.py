@@ -117,15 +117,12 @@ def tpu_bench(images):
     n_tiles, c, t = tiles_np.shape
     pixels = tiles_np.size
 
-    # Per-image k-prior seeds, expanded per tile — the production v2
-    # container seeds every tile's k-table this way, so the kernel bench
-    # measures the same program the container path runs.
-    priors = []
-    for tb in tile_batches:
-        k0 = tiling.compute_k0(tb, th, tw, cfg, nb)
-        p = tiling.prior_from_k0(k0, cfg, c)  # (C, nb, K)
-        priors.append(np.broadcast_to(p[None], (tb.shape[0],) + p.shape))
-    prior_j = jnp.asarray(np.concatenate(priors))  # (n_tiles, C, nb, K)
+    # Batch-global k-prior seed — the production v2 container seeds every
+    # tile's k-table from a per-image prior; the kernel bench uses one
+    # prior for the whole batch (same kernel program and per-step cost,
+    # and roll-invariant so decode inputs can be permuted per rep).
+    k0 = tiling.compute_k0(tiles_np, th, tw, cfg, nb)
+    prior_j = jnp.asarray(tiling.prior_from_k0(k0, cfg, c))  # (C, nb, K)
 
     from felics_tpu.utils.timing import _sync, fetch_rtt
 
@@ -149,32 +146,50 @@ def tpu_bench(images):
             tiles_ls, *meta, prior_j, th, tw, c, W, cfg, False
         )
 
-    # The tunneled platform can serve repeated identical executions from a
-    # cache, so every timed iteration uses a distinct input (one pixel
-    # nudged) and syncs by fetching from the result. Per-iteration times are
-    # reduced with min: the tunnel adds heavy-tailed RTT noise, and the
-    # fastest observation is the cleanest estimate of device time.
-    iters = 5
-    variants = []
-    for i in range(iters + 1):
+    # Timing methodology: the tunnel RTT (~25 ms) dwarfs single-kernel
+    # device time (~2-5 ms) and its +-2 ms jitter would dominate a
+    # subtract-the-RTT estimate. So each timed dispatch runs the kernel
+    # REP times back-to-back on REP DISTINCT inputs inside ONE jitted
+    # program (one dispatch, one fetch):  t = (wall - rtt) / REP  amortizes
+    # the RTT noise REP-fold. Distinct inputs also defeat the tunnel's
+    # identical-execution cache; min over outer iterations drops stragglers.
+    REP = 8
+    iters = 3
+
+    def variant(seed):
         v = tiles_np.copy()
-        v[0, 0, 2] = (v[0, 0, 2] + i) % 255
-        variants.append(jnp.asarray(v.reshape(n_tiles, c * t)))
-    warm_words, warm_bits = encode_once(variants[0])  # warm/compile
-    _sync(warm_bits)
-    enc_results = []
+        v[0, 0, 2] = (v[0, 0, 2] + seed) % 255
+        return v.reshape(n_tiles, c * t)
+
+    def stack_for(it):
+        return jnp.asarray(
+            np.stack([variant(it * REP + r) for r in range(REP)])
+        )
+
+    @jax.jit
+    def rep_encode(stack):  # (REP, n_tiles, c*t)
+        outs = [
+            pc._encode_tiles_pallas(
+                stack[r], *meta, prior_j, th, tw, c, W, cfg, False
+            )
+            for r in range(REP)
+        ]
+        return outs[-1][0], jnp.stack([b for (_, b) in outs])
+
+    stacks = [stack_for(it) for it in range(iters + 1)]
+    warm_words, warm_bits_all = rep_encode(stacks[0])
+    _sync(warm_bits_all)
     enc_times = []
-    for i in range(1, iters + 1):
+    for it in range(1, iters + 1):
         t0 = time.perf_counter()
-        r = encode_once(variants[i])
-        _sync(r[1])
+        words, bits_all = rep_encode(stacks[it])
+        _sync(bits_all)
         enc_times.append(time.perf_counter() - t0)
-        enc_results.append(r)
-    t_enc = max(1e-9, min(enc_times) - rtt)
-    words, bits = enc_results[-1]
+    t_enc = max(1e-9, min(enc_times) - rtt) / REP
+    bits = bits_all[-1]
 
     bits_np = np.asarray(bits).astype(np.int64)
-    assert int(bits_np.max()) <= W * 32, "width hint overflow"
+    assert int(np.asarray(bits_all).max()) <= W * 32, "width hint overflow"
     lens = (bits_np + 7) // 8
     total = int(lens.sum())
 
@@ -186,41 +201,59 @@ def tpu_bench(images):
         nw = np.minimum((bn + 31) // 32, wd)
         keep = np.arange(wd, dtype=np.int64)[None, :] < nw[:, None]
         cols = np.where(keep, wn[:, :wd], 0).astype(np.uint32)
-        # zero any partial-word tail bits beyond ceil(bits/8) bytes? they are
-        # already zero: the encoder flushes zero-padded partial words.
-        return jnp.asarray(cols)
+        # tail bits beyond ceil(bits/8) bytes are already zero: the encoder
+        # flushes zero-padded partial words.
+        return cols
 
-    # One shared word width for warm + timed decode inputs: a single
-    # compiled decode kernel serves every iteration.
-    all_bits = [warm_bits] + [b_ for (_, b_) in enc_results]
+    # One shared word width across iterations: a single compiled decode
+    # kernel serves every dispatch. The REP decode inputs per iteration are
+    # the encoder outputs of REP distinct variants.
     wd = pc.bucket_words(
-        int(max(np.asarray(b_).max() for b_ in all_bits) + 31) // 32
+        int(max(np.asarray(warm_bits_all).max(), np.asarray(bits_all).max())
+            + 31) // 32
     )
-    dec_inputs = [cols_of(w_, b_, wd) for (w_, b_) in enc_results]
 
-    def decode_once(cols):
-        return pc._decode_tiles_pallas(
-            cols, *meta, prior_j, th, tw, c, cfg, False
+    @jax.jit
+    def rep_decode(cstack):  # (REP, n_tiles, wd)
+        outs = [
+            pc._decode_tiles_pallas(
+                cstack[r], *meta, prior_j, th, tw, c, cfg, False
+            )
+            for r in range(REP)
+        ]
+        # Probe one element of EVERY rep's output: a rep whose result is
+        # entirely unused would be dead-code-eliminated and not timed.
+        probes = jnp.stack([o[0, 0] for o in outs])
+        return outs[-1], probes
+
+    def dec_stack_for(stack):
+        w_, b_all = rep_encode(stack)
+        # every rep re-encodes a distinct variant; reuse the last rep's
+        # words and synthesize the other REP-1 columns by rolling tiles
+        # (content identical per tile, order distinct per rep).
+        base = cols_of(w_, b_all[-1], wd)
+        return jnp.asarray(
+            np.stack([np.roll(base, r, axis=0) for r in range(REP)])
         )
 
-    # Warm/compile on a DISTINCT input (the variants[0] warm-encode result):
-    # the tunneled platform can serve repeated identical executions from a
-    # cache, so no timed iteration may reuse the warm-up's input.
-    bufs = decode_once(cols_of(warm_words, warm_bits, wd))
+    dec_stacks = [dec_stack_for(s) for s in stacks]
+    bufs, _pr = rep_decode(dec_stacks[0])
     _sync(bufs)
     dec_times = []
-    for cols in dec_inputs:
+    for it in range(1, iters + 1):
         t0 = time.perf_counter()
-        bufs = decode_once(cols)
+        bufs, _pr = rep_decode(dec_stacks[it])
         _sync(bufs)
         dec_times.append(time.perf_counter() - t0)
-    t_dec = max(1e-9, min(dec_times) - rtt)
+    t_dec = max(1e-9, min(dec_times) - rtt) / REP
 
-    # Correctness: decoded tiles match the (last variant) input exactly.
+    # Correctness: the last rep decodes the (REP-1)-rolled columns of the
+    # last iteration's last variant — so the rolled tiles must match.
     decoded = np.asarray(bufs).reshape(tiles_np.shape)
-    assert np.array_equal(
-        decoded, np.asarray(variants[-1]).reshape(tiles_np.shape)
-    ), "tiled round-trip mismatch"
+    expect = np.roll(
+        np.asarray(stacks[iters][-1]).reshape(tiles_np.shape), REP - 1, axis=0
+    )
+    assert np.array_equal(decoded, expect), "tiled round-trip mismatch"
 
     ratio = pixels / total
     mpxs = 2 * pixels / (t_enc + t_dec) / 1e6

@@ -39,6 +39,7 @@ from felics_tpu.api import (
     compress_image,
     decompress_image,
     compress_image_bytes,
+    compress_images_bytes,
     decompress_image_bytes,
     probe,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "compress_image",
     "decompress_image",
     "compress_image_bytes",
+    "compress_images_bytes",
     "decompress_image_bytes",
     "probe",
 ]

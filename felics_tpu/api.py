@@ -13,12 +13,17 @@ Backends:
   * ``"jax"``    — the vectorized XLA/TPU FLCS encoder plus the batched
                    amortized path (core.jax_codec; single-stream decode is
                    irreducibly serial and stays a lax.scan oracle there).
-  * ``"auto"``   — native if built, else oracle, for BOTH directions. The
-                   jax FLCS path is never auto-selected for one-off images:
-                   a single-stream encode pays host round-trips that dwarf
-                   the device time at FLCS sizes (use ``"jax"`` explicitly,
-                   or the batched ``compress_images_bytes``, or the FLCT
-                   container, which is TPU-parallel end to end).
+  * ``"auto"``   — FLCS: native if built, else oracle, for BOTH directions
+                   (the jax FLCS path is never auto-selected for one-off
+                   images: a single-stream encode pays host round-trips that
+                   dwarf the device time at FLCS sizes — use ``"jax"``
+                   explicitly, or the batched ``compress_images_bytes``
+                   below). FLCT: the TPU pipeline when a TPU is live, else
+                   the native threaded codec (``_flct_backend``).
+
+Batched serving APIs: ``compress_images_bytes(images)`` (this module)
+encodes N FLCS containers in one fused device program; the FLCT equivalents
+are ``parallel.batch.compress_tiled_batch``/``decompress_tiled_batch``.
 """
 
 from __future__ import annotations
@@ -165,6 +170,34 @@ def compress_image_bytes(
     writer.byte_align()
     out.write(writer.getvalue())
     return out.getvalue()
+
+
+def compress_images_bytes(
+    images, backend: str = "jax", container: str = "flcs", tile=None
+):
+    """Batched multi-image encode -> list of container byte strings.
+
+    FLCS + ``backend="jax"`` runs core.jax_codec.compress_images_bytes (all
+    images in one fused kscan+pack program — the TPU serving path; bytes
+    identical to per-image encodes). Other backends loop the per-image
+    encoder. FLCT routes to parallel.batch.compress_tiled_batch.
+    """
+    if container == "flct":
+        from felics_tpu.parallel.batch import compress_tiled_batch
+
+        if _flct_backend(backend) == "native":
+            return [
+                compress_image_bytes(im, backend, container, tile)
+                for im in images
+            ]
+        return compress_tiled_batch(list(images), tile)
+    if container != "flcs":
+        raise ValueError(f"unknown container {container!r}")
+    if backend == "jax":
+        from felics_tpu.core import jax_codec
+
+        return jax_codec.compress_images_bytes(list(images))
+    return [compress_image_bytes(im, backend) for im in images]
 
 
 def decompress_image(from_: BinaryIO, backend: str = "auto") -> np.ndarray:

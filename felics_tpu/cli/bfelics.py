@@ -75,6 +75,46 @@ def bench_external(files, src, out_dir, tool, make_cmd):
     return time.time() - start, _dir_bytes(out_dir)
 
 
+def bench_qoi(files, src, out_dir):
+    """QOI comparison column (reference benchmarks qoi via ImageMagick,
+    bench/benchmark-small-corpus.py:39-69; no external tools here, so the
+    native core's spec-implemented QOI codec stands in). QOI is 8-bit
+    RGB/RGBA only: gray expands to RGB, 16-bit corpora are skipped — the
+    same effective treatment the reference's `convert` applies."""
+    import numpy as np
+
+    from felics_tpu.io.images import load_image
+    from felics_tpu.native import runtime
+
+    if not runtime.qoi_available():
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    start = time.time()
+    for name in files:
+        image = load_image(os.path.join(src, name))
+        if image.dtype != np.uint8:
+            return None  # 16-bit corpus: QOI not applicable
+        if image.ndim == 2:
+            image = np.stack([image] * 3, axis=-1)
+        data = runtime.qoi_encode(image)
+        with open(
+            os.path.join(out_dir, os.path.splitext(name)[0] + ".qoi"), "wb"
+        ) as f:
+            f.write(data)
+    return time.time() - start, _dir_bytes(out_dir)
+
+
+def bench_qoi_decompress(out_dir):
+    from felics_tpu.native import runtime
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".qoi")]
+    start = time.time()
+    for name in files:
+        with open(os.path.join(out_dir, name), "rb") as f:
+            runtime.qoi_decode(f.read())
+    return time.time() - start
+
+
 def bench_felics_decompress(out_dir, backend):
     from felics_tpu.api import decompress_image_bytes
 
@@ -135,6 +175,9 @@ def main(argv=None) -> int:
     )
     if webp:
         results[".webp"] = webp
+    qoi = bench_qoi(files, args.corpus, os.path.join(args.out, "to_qoi"))
+    if qoi:
+        results[".qoi"] = qoi
 
     # Decompression pass (reference: plot_decompression_metrics,
     # bench/benchmark-small-corpus.py:104-123).
@@ -144,6 +187,8 @@ def main(argv=None) -> int:
         ),
         ".png": bench_png_decompress(os.path.join(args.out, "to_png")),
     }
+    if qoi:
+        dec_times[".qoi"] = bench_qoi_decompress(os.path.join(args.out, "to_qoi"))
 
     raw = sum(
         os.path.getsize(os.path.join(args.corpus, f)) for f in files

@@ -108,13 +108,137 @@ def encode_payload(
 def compress_image_bytes(image: np.ndarray, header: Header) -> bytes:
     cfg = config_for_depth(header.pixel_depth)
     h, w = header.height, header.width
+    return header_bytes(header) + encode_payload(
+        _image_channels(image, header), h, w, cfg
+    )
+
+
+def _image_channels(image: np.ndarray, header: Header):
     if header.color_type == ColorType.GRAY:
-        channels = [np.asarray(image, dtype=np.int32).reshape(-1)]
-    else:
-        flat = np.asarray(image, dtype=np.int32).reshape(-1, 3)
-        y, co, cg = rgb_to_ycocg(flat[:, 0], flat[:, 1], flat[:, 2])
-        channels = [y, co, cg]
-    return header_bytes(header) + encode_payload(channels, h, w, cfg)
+        return [np.asarray(image, dtype=np.int32).reshape(-1)]
+    flat = np.asarray(image, dtype=np.int32).reshape(-1, 3)
+    y, co, cg = rgb_to_ycocg(flat[:, 0], flat[:, 1], flat[:, 2])
+    return [y, co, cg]
+
+
+@partial(jax.jit, static_argnames=("n_imgs",))
+def _group_offsets(symbols: Symbols, n_imgs: int):
+    """Byte-aligned per-image packing offsets for a group of same-shape
+    images whose symbols are concatenated image-major (same pattern as the
+    FLCT per-tile offsets: each image's stream is an independent byte-aligned
+    FLCS payload inside one scatter buffer)."""
+    lens = (symbols.a_len + symbols.q + symbols.b_len).reshape(n_imgs, -1)
+    ends = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
+    img_bits = ends[:, -1]
+    img_bytes = (img_bits + 7) >> 3
+    img_starts = jnp.cumsum(img_bytes) - img_bytes  # exclusive, bytes
+    within = ends - lens
+    offsets = (img_starts[:, None] << 3) + within
+    return offsets.reshape(-1), img_bytes, img_starts[-1] + img_bytes[-1]
+
+
+@jax.jit
+def _stack_extents(sus):
+    """One fetchable array of every channel's kscan extents (a single host
+    round trip replaces 2 syncs per channel — the tunnel RTT dominates
+    per-image encode cost otherwise)."""
+    return jnp.stack(
+        [jnp.stack([su.num_contexts, su.max_rank]) for su in sus]
+    )
+
+
+def compress_images_bytes(images: Sequence[np.ndarray]) -> List[bytes]:
+    """Batched multi-image FLCS encode: N containers from ~four device
+    round trips total (vs ~4 per image when encoding sequentially).
+
+    All analysis/sort dispatches go out asynchronously; the kscan extents of
+    every channel are fetched in ONE sync; all images' symbols pack into ONE
+    scatter program whose payload is split at per-image byte boundaries.
+    Bytes are identical to per-image ``compress_image_bytes`` (reference
+    parity: one continuous bitstream per image, src/compression.rs:365-369).
+    Images may differ in shape; same-shape runs share jit cache entries.
+    """
+    from felics_tpu.api import header_for_array
+    from felics_tpu.ops.kscan import _bucket, kscan, sort_updates
+    from felics_tpu.parallel.tiling import _bucket_count
+
+    if not images:
+        return []
+    headers = [header_for_array(im) for im in images]
+
+    # Degenerate dims use the scalar raw-preamble path.
+    def _degenerate(im, hd):
+        return compress_image_bytes(im, hd)
+
+    # Phase 1: per-channel analysis + update sort (async dispatches).
+    per_image = []  # (header, cfg, [(channel, analysis, su) ...]) or bytes
+    all_sus = []
+    for im, hd in zip(images, headers):
+        h, w = hd.height, hd.width
+        if h * w < 2 or w == 0 or h == 0:
+            per_image.append(_degenerate(im, hd))
+            continue
+        cfg = config_for_depth(hd.pixel_depth)
+        chans = []
+        for chan in _image_channels(im, hd):
+            cj = jnp.asarray(chan, dtype=jnp.int32)
+            analysis = _analyze(cj, h, w)
+            su = sort_updates(analysis.context, analysis.oor)
+            chans.append((cj, analysis, su))
+            all_sus.append(su)
+        per_image.append((hd, cfg, chans))
+
+    # Phase 2: ONE extent sync for every channel of every image.
+    if all_sus:
+        extents = np.asarray(jax.device_get(_stack_extents(all_sus)))
+    si = 0
+
+    # Phase 3: kscan + symbolize per channel (async), grouped by shape for
+    # the shared packing program.
+    groups: dict = {}  # (h, w, c, depth) -> [(image_index, symbols_parts)]
+    results: List[bytes] = [b"" for _ in images]
+    for idx, item in enumerate(per_image):
+        if isinstance(item, bytes):
+            results[idx] = item
+            continue
+        hd, cfg, chans = item
+        h, w = hd.height, hd.width
+        parts = []
+        for cj, analysis, su in chans:
+            nc, mr = (int(x) for x in extents[si])
+            si += 1
+            if nc == 0 or mr == 0:
+                k = jnp.full(analysis.context.shape, cfg.k_values[-1], jnp.int32)
+            else:
+                k = kscan(
+                    analysis.context, analysis.oor, analysis.residual, su,
+                    cfg, _bucket(nc), _bucket(mr),
+                )
+            parts.append(_symbolize(analysis, cj, k, h, w))
+        symbols = _concat_symbols(parts) if len(parts) > 1 else parts[0]
+        key = (h, w, hd.num_channels, hd.pixel_depth)
+        groups.setdefault(key, []).append((idx, hd, symbols))
+
+    # Phase 4: one offsets+pack program per shape group, one payload fetch.
+    for (h, w, c, depth), members in groups.items():
+        n_imgs = len(members)
+        symbols = (
+            _concat_symbols([m[2] for m in members])
+            if n_imgs > 1
+            else members[0][2]
+        )
+        offsets, img_bytes, total_bytes = _group_offsets(symbols, n_imgs)
+        n_big = bitpack.count_big_symbols(symbols)
+        total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
+        b_pad = bitpack.bucket_bits(total * 8)
+        n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
+        packed = bitpack.pack_bits_scatter(symbols, offsets, b_pad, n_big_pad)
+        payload = np.asarray(packed[:total]).tobytes()
+        lengths = np.asarray(img_bytes, dtype=np.int64)
+        pos = np.concatenate([[0], np.cumsum(lengths)])
+        for mi, (idx, hd, _) in enumerate(members):
+            results[idx] = header_bytes(hd) + payload[pos[mi] : pos[mi + 1]]
+    return results
 
 
 # ---------------------------------------------------------------------------

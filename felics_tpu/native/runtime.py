@@ -103,6 +103,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    if hasattr(lib, "fel_qoi_encode"):  # older prebuilt .so may lack it
+        lib.fel_qoi_encode.restype = ctypes.c_int
+        lib.fel_qoi_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.fel_qoi_decode.restype = ctypes.c_int
+        lib.fel_qoi_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int),
+        ]
     _lib = lib
     return _lib
 
@@ -238,3 +257,60 @@ def decompress(data: bytes, header: Header) -> np.ndarray:
     if nchan == 1:
         return arr.astype(dtype).reshape(height.value, width.value)
     return arr.astype(dtype).reshape(height.value, width.value, 3)
+
+
+def qoi_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fel_qoi_encode")
+
+
+def qoi_encode(image: np.ndarray) -> bytes:
+    """QOI-encode an (H, W, 3|4) uint8 array (grayscale callers expand to
+    RGB first — matching how the reference's ImageMagick conversion treats
+    gray TIFFs in bench/benchmark-small-corpus.py:39-69)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fel_qoi_encode"):
+        raise RuntimeError("native library with QOI not built; run native/build.py")
+    if image.ndim != 3 or image.shape[2] not in (3, 4) or image.dtype != np.uint8:
+        raise ValueError("QOI input must be (H, W, 3|4) uint8")
+    h, w, ch = image.shape
+    flat = np.ascontiguousarray(image.reshape(-1))
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    code = lib.fel_qoi_encode(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, ch, ctypes.byref(out_ptr), ctypes.byref(out_len),
+    )
+    if code != 0:
+        _raise(code)
+    try:
+        return ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.fel_free(out_ptr)
+
+
+def qoi_decode(data: bytes) -> np.ndarray:
+    lib = _load()
+    if lib is None or not hasattr(lib, "fel_qoi_decode"):
+        raise RuntimeError("native library with QOI not built; run native/build.py")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    ch = ctypes.c_int()
+    code = lib.fel_qoi_decode(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        ctypes.byref(out_ptr),
+        ctypes.byref(w),
+        ctypes.byref(h),
+        ctypes.byref(ch),
+    )
+    if code != 0:
+        _raise(code)
+    try:
+        n = w.value * h.value * ch.value
+        arr = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    finally:
+        lib.fel_free(out_ptr)
+    return arr.reshape(h.value, w.value, ch.value)

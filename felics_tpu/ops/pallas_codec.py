@@ -170,6 +170,34 @@ def _sum_u32(masked_i32, axis=0):
     )
 
 
+def _k_select_plan(K: int, depth_bits: int, t: int) -> int:
+    """Bits to pack the k index below the cost for a fused single-reduce
+    k-selection, or 0 when the packed value could overflow int32.
+
+    Entry bound: a per-(tile, channel) table row sees at most t updates of
+    at most 2^depth + depth + 2 each (FLCT has no count halving;
+    config.tiled_config_for_depth) plus the k-prior seed (<= 4*(K-1)), so
+    (entry << kb) stays below 2^31 whenever the bound does."""
+    kb = max(1, (K - 1).bit_length())
+    bound = t * ((1 << depth_bits) + depth_bits + 2) + 4 * K
+    return kb if bound < (1 << (31 - kb)) else 0
+
+
+def _k_select(table, match, k_rows, K: int, kb: int):
+    """Per-lane k: smallest cumulative cost over matched rows, ties to the
+    LARGEST k (reference: src/compression/parameter_selection.rs:71-85).
+
+    kb > 0 packs (cost << kb) | (K-1-k) so ONE masked pass + ONE min-reduce
+    replaces the three-pass min/compare/max formulation — the k-table sweep
+    is the dominant per-step vector cost in both kernels."""
+    if kb:
+        comb = jnp.where(match, (table << kb) | (K - 1 - k_rows), _I32_MAX)
+        return (K - 1) - (jnp.min(comb, axis=0) & ((1 << kb) - 1))
+    cost = jnp.where(match, table, _I32_MAX)
+    minv = jnp.min(cost, axis=0)
+    return jnp.max(jnp.where(cost == minv[None, :], k_rows, -1), axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------
@@ -213,6 +241,7 @@ def _encode_kernel_body(
     K: int,
     NR: int,
     C: int,
+    KB: int,
 ):
     """One grid program: encode SC pixels of B tile streams. The host calls
     this once per chunk (ci_ref = chunk index drives the vals block choice;
@@ -250,9 +279,12 @@ def _encode_kernel_body(
         return ring, spilled
 
     def maybe_spill(ring, spilled, wi):
+        # Threshold leaves headroom for 4 steps x 2 unconditional emits
+        # between cadenced checks (see step(): the vector->scalar any-reduce
+        # is costly, so the main loop only checks every 4th step).
         def cond(st):
             ring, spilled = st
-            return jnp.any(wi - spilled >= R - 6)
+            return jnp.any(wi - spilled >= R - 12)
 
         def body(st):
             ring, spilled = st
@@ -287,10 +319,17 @@ def _encode_kernel_body(
         # (rows at most 2*tw back are read; NR > 2*tw so slots never collide
         # with still-needed rows).
         nbr_out[gi & (NR - 1), :] = vals_ref[i, :]
-        # Keep ring headroom for this step's <=2 unconditional emits (the
-        # unary drain loop re-checks internally).
+        # Keep ring headroom for <=2 unconditional emits per step. The check
+        # costs a vector->scalar reduce, so it runs every 4th step only; the
+        # spill threshold (R-12) covers the up-to-8 emits in between (the
+        # unary drain loop re-checks internally every iteration).
         acc0, acc1, nbits, wi, ring, spilled = state
-        ring, spilled = maybe_spill(ring, spilled, wi)
+        ring, spilled = jax.lax.cond(
+            (i & 3) == 0,
+            lambda rs: maybe_spill(rs[0], rs[1], wi),
+            lambda rs: rs,
+            (ring, spilled),
+        )
         state = (acc0, acc1, nbits, wi, ring, spilled)
         j = jmod_ref[gi]
 
@@ -326,9 +365,7 @@ def _encode_kernel_body(
             qc = _bitlen(ctx)
 
             match = bucket_rows == qc[None, :]
-            cost = jnp.where(match, table, _I32_MAX)
-            minv = jnp.min(cost, axis=0)
-            k = jnp.max(jnp.where(cost == minv[None, :], k_rows, -1), axis=0)
+            k = _k_select(table, match, k_rows, K, KB)
 
             in_range = (p >= l) & (p <= h)
             below = p < l
@@ -374,26 +411,29 @@ def _encode_kernel_body(
 
             q_rem = jnp.where(small, 0, q)
 
-            def any_q(st):
-                return jnp.any(st[1] > 0)
+            def rare(state):
+                # Some lane's symbol exceeds 32 bits: drain its unary run in
+                # word-size chunks, then append the Rice remainder. Fused
+                # under ONE any-reduce — the common all-small step skips the
+                # whole path (and its while-cond reduce) with a single check.
+                def any_q(st):
+                    return jnp.any(st[1] > 0)
 
-            def drain(st):
-                state, q_rem = st
-                acc0, acc1, nbits, wi, ring, spilled = state
-                ring, spilled = maybe_spill(ring, spilled, wi)
-                state = (acc0, acc1, nbits, wi, ring, spilled)
-                chunk = jnp.minimum(q_rem, 32)
-                ones = _shr(jnp.uint32(0xFFFFFFFF), 32 - chunk)
-                return append(state, ones, chunk), q_rem - chunk
+                def drain(st):
+                    state, q_rem = st
+                    acc0, acc1, nbits, wi, ring, spilled = state
+                    ring, spilled = maybe_spill(ring, spilled, wi)
+                    state = (acc0, acc1, nbits, wi, ring, spilled)
+                    chunk = jnp.minimum(q_rem, 32)
+                    ones = _shr(jnp.uint32(0xFFFFFFFF), 32 - chunk)
+                    return append(state, ones, chunk), q_rem - chunk
 
-            state, _ = jax.lax.while_loop(any_q, drain, (state, q_rem))
-
-            def tail(state):
+                state, _ = jax.lax.while_loop(any_q, drain, (state, q_rem))
                 p2l = jnp.where(small, 0, blen)
                 return append(state, bv, p2l)
 
             state = jax.lax.cond(
-                jnp.any(~small), tail, lambda s: s, state
+                jnp.any(~small), rare, lambda s: s, state
             )
             return table, state
 
@@ -479,6 +519,7 @@ def _encode_tiles_pallas(
     kernel = functools.partial(
         _encode_kernel_body,
         SC=SC, W=W, B=B, t=t, nb=nb, K=K, NR=NR, C=c,
+        KB=_k_select_plan(K, cfg.depth_bits, t),
     )
     lane = lambda b, *_: (0, b)
     chunk = lambda b, jm, ra, rb, pw, ps, ci, il: (ci[0], b)
@@ -652,6 +693,7 @@ def _decode_kernel_body(
     max_context: int,
     C: int,
     NT: int,
+    KB: int,
 ):
     """One grid program: decode B tile streams into (S, B) pixel planes."""
     R, G = _RING, _SPILL
@@ -696,21 +738,29 @@ def _decode_kernel_body(
 
     def step(i, carry):
         table, pos, w0, w1, w2, ring, rbase = carry
-        # Top up the ring so [wp, wp+4] stays resident through this step.
+        # Top up the ring so [wp, wp+4] stays resident through this step and
+        # the next three: the check costs a vector->scalar any-reduce, so it
+        # runs every 4th step with margin for 4 steps x <=2 words fast-path
+        # advance (the overrun slow path rebuilds the ring directly below).
         wp0 = pos >> 5
 
         def need_fill(st):
             ring, rbase = st
-            return jnp.any(wp0 + 6 > rbase + R - 1)
+            return jnp.any(wp0 + 12 > rbase + R - 1)
 
         def do_fill(st):
             ring, rbase = st
             # Refill every lane whose cursor has fully passed the half being
             # evicted (wp0 >= rbase+G) — eager top-up is only safe then; the
-            # hard-need lanes (wp0 >= rbase+R-6) all qualify.
+            # hard-need lanes (wp0 >= rbase+R-12) all qualify.
             return refill(ring, rbase, (wp0 - rbase) >= G)
 
-        ring, rbase = jax.lax.while_loop(need_fill, do_fill, (ring, rbase))
+        ring, rbase = jax.lax.cond(
+            (i & 3) == 0,
+            lambda st: jax.lax.while_loop(need_fill, do_fill, st),
+            lambda st: st,
+            (ring, rbase),
+        )
         j = jmod_ref[i]
         off = (pos & 31).astype(jnp.uint32)
         # Aligned 64-bit window at the cursor.
@@ -756,9 +806,7 @@ def _decode_kernel_body(
             qc = _bitlen(ctx)
 
             match = bucket_rows == qc[None, :]
-            cost = jnp.where(match, table, _I32_MAX)
-            minv = jnp.min(cost, axis=0)
-            k = jnp.max(jnp.where(cost == minv[None, :], k_rows, -1), axis=0)
+            k = _k_select(table, match, k_rows, K, KB)
 
             first = (win0 >> 31).astype(jnp.int32)
 
@@ -853,8 +901,9 @@ def _decode_kernel_body(
 
             init = (jnp.zeros((B,), jnp.int32), pos + 2,
                     (~overrun).astype(jnp.int32))
+            has_overrun = jnp.any(overrun)
             q2, p2, rem_slow = jax.lax.cond(
-                jnp.any(overrun), slow, no_slow, init
+                has_overrun, slow, no_slow, init
             )
             ring_u, rbase_u = ring, rbase
             uq = jnp.where(overrun, q2, lead)
@@ -876,13 +925,16 @@ def _decode_kernel_body(
             upd = match & (~is_in)[None, :]
             add = jnp.where(upd, (encoded[None, :] >> k_rows) + 1 + k_rows, 0)
             table = table + add
-            return table, new_pos, value, ring_u, rbase_u
+            return (
+                table, new_pos, value, ring_u, rbase_u,
+                has_overrun.astype(jnp.int32),
+            )
 
         def preamble_r(table, pos):
             table, new_pos, value = preamble(table, pos)
-            return table, new_pos, value, ring, rbase
+            return table, new_pos, value, ring, rbase, jnp.int32(0)
 
-        table, new_pos, value, ring, rbase = jax.lax.cond(
+        table, new_pos, value, ring, rbase, had_overrun = jax.lax.cond(
             j < 2, preamble_r, main, table, pos
         )
         out_ref[i, :] = value
@@ -919,8 +971,11 @@ def _decode_kernel_body(
             rbase = jnp.where(m, nbase, rbase)
             return (fetch(nwp), fetch(nwp + 1), fetch(nwp + 2)), ring, rbase
 
+        # delta > 2 only happens via the unary-overrun slow path (fast-path
+        # advance is bounded by the 64-bit window), so the scalar flag main
+        # already reduced gates the rebuild — no extra any-reduce per step.
         st, ring, rbase = jax.lax.cond(
-            jnp.any(delta > 2), rebuild, lambda a: a, (st, ring, rbase)
+            had_overrun != 0, rebuild, lambda a: a, (st, ring, rbase)
         )
         w0, w1, w2 = st
         return (table, new_pos, w0, w1, w2, ring, rbase)
@@ -980,6 +1035,7 @@ def _decode_tiles_pallas(
         max_context=cfg.max_context,
         C=c,
         NT=NT,
+        KB=_k_select_plan(K, cfg.depth_bits, t),
     )
     out = pl.pallas_call(
         kernel,

@@ -957,3 +957,199 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// QOI ("Quite OK Image", qoiformat.org/qoi-specification.pdf) encode/decode.
+// The reference benchmark compares FELICS against qoi files produced by
+// ImageMagick (bench/benchmark-small-corpus.py:39-69); this image has no
+// external tools, so the comparison codec ships here — implemented from the
+// public one-page spec. 8-bit, 3 (RGB) or 4 (RGBA) channels.
+
+namespace qoi {
+
+constexpr uint8_t kOpIndex = 0x00;  // 00xxxxxx
+constexpr uint8_t kOpDiff = 0x40;   // 01xxxxxx
+constexpr uint8_t kOpLuma = 0x80;   // 10xxxxxx
+constexpr uint8_t kOpRun = 0xC0;    // 11xxxxxx
+constexpr uint8_t kOpRgb = 0xFE;
+constexpr uint8_t kOpRgba = 0xFF;
+
+struct Px {
+  uint8_t r = 0, g = 0, b = 0, a = 255;
+  bool operator==(const Px& o) const {
+    return r == o.r && g == o.g && b == o.b && a == o.a;
+  }
+};
+
+inline int hash(const Px& p) {
+  return (p.r * 3 + p.g * 5 + p.b * 7 + p.a * 11) & 63;
+}
+
+inline void put32(std::vector<uint8_t>& out, uint32_t v) {
+  out.push_back(v >> 24);
+  out.push_back(v >> 16);
+  out.push_back(v >> 8);
+  out.push_back(v);
+}
+
+}  // namespace qoi
+
+extern "C" {
+
+// pixels: interleaved uint8, `channels` = 3 or 4.
+int fel_qoi_encode(const uint8_t* pixels, uint32_t width, uint32_t height,
+                   int channels, uint8_t** out, size_t* out_len) {
+  using namespace qoi;
+  if (channels != 3 && channels != 4) return FEL_ECOLOR_TYPE;
+  if (width == 0 || height == 0) return FEL_EDIMENSIONS;
+  const uint64_t total64 = static_cast<uint64_t>(width) * height;
+  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  const size_t total = static_cast<size_t>(total64);
+
+  std::vector<uint8_t> buf;
+  buf.reserve(total + 64);
+  buf.push_back('q'); buf.push_back('o'); buf.push_back('i'); buf.push_back('f');
+  put32(buf, width);
+  put32(buf, height);
+  buf.push_back(static_cast<uint8_t>(channels));
+  buf.push_back(0);  // colorspace: sRGB with linear alpha
+
+  Px cache[64] = {};
+  Px prev;  // spec start value {0,0,0,255}
+  int run = 0;
+  for (size_t i = 0; i < total; ++i) {
+    Px cur;
+    cur.r = pixels[i * channels];
+    cur.g = pixels[i * channels + 1];
+    cur.b = pixels[i * channels + 2];
+    cur.a = channels == 4 ? pixels[i * channels + 3] : 255;
+
+    if (cur == prev) {
+      if (++run == 62) {
+        buf.push_back(kOpRun | (run - 1));
+        run = 0;
+      }
+    } else {
+      if (run > 0) {
+        buf.push_back(kOpRun | (run - 1));
+        run = 0;
+      }
+      const int idx = hash(cur);
+      if (cache[idx] == cur) {
+        buf.push_back(kOpIndex | idx);
+      } else {
+        cache[idx] = cur;
+        if (cur.a == prev.a) {
+          const int8_t dr = cur.r - prev.r;
+          const int8_t dg = cur.g - prev.g;
+          const int8_t db = cur.b - prev.b;
+          const int8_t dg_r = dr - dg;
+          const int8_t dg_b = db - dg;
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 &&
+              db <= 1) {
+            buf.push_back(kOpDiff | ((dr + 2) << 4) | ((dg + 2) << 2) |
+                          (db + 2));
+          } else if (dg >= -32 && dg <= 31 && dg_r >= -8 && dg_r <= 7 &&
+                     dg_b >= -8 && dg_b <= 7) {
+            buf.push_back(kOpLuma | (dg + 32));
+            buf.push_back(((dg_r + 8) << 4) | (dg_b + 8));
+          } else {
+            buf.push_back(kOpRgb);
+            buf.push_back(cur.r);
+            buf.push_back(cur.g);
+            buf.push_back(cur.b);
+          }
+        } else {
+          buf.push_back(kOpRgba);
+          buf.push_back(cur.r);
+          buf.push_back(cur.g);
+          buf.push_back(cur.b);
+          buf.push_back(cur.a);
+        }
+      }
+      prev = cur;
+    }
+  }
+  if (run > 0) buf.push_back(kOpRun | (run - 1));
+  for (int i = 0; i < 7; ++i) buf.push_back(0);
+  buf.push_back(1);
+
+  uint8_t* result = static_cast<uint8_t*>(malloc(buf.size()));
+  if (!result) return FEL_ENOMEM;
+  memcpy(result, buf.data(), buf.size());
+  *out = result;
+  *out_len = buf.size();
+  return FEL_OK;
+}
+
+int fel_qoi_decode(const uint8_t* data, size_t len, uint8_t** out,
+                   uint32_t* width, uint32_t* height, int* channels) {
+  using namespace qoi;
+  if (len < 14 + 8) return FEL_EIO;
+  if (data[0] != 'q' || data[1] != 'o' || data[2] != 'i' || data[3] != 'f')
+    return FEL_ESIGNATURE;
+  const uint32_t w = (uint32_t(data[4]) << 24) | (uint32_t(data[5]) << 16) |
+                     (uint32_t(data[6]) << 8) | data[7];
+  const uint32_t h = (uint32_t(data[8]) << 24) | (uint32_t(data[9]) << 16) |
+                     (uint32_t(data[10]) << 8) | data[11];
+  const int ch = data[12];
+  if (ch != 3 && ch != 4) return FEL_ECOLOR_TYPE;
+  const uint64_t total64 = static_cast<uint64_t>(w) * h;
+  if (total64 == 0 || total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  const size_t total = static_cast<size_t>(total64);
+
+  uint8_t* result = static_cast<uint8_t*>(malloc(total * ch));
+  if (!result) return FEL_ENOMEM;
+
+  Px cache[64] = {};
+  Px px;
+  size_t p = 14;
+  const size_t chunks_end = len - 8;  // 7x00 + 01 end marker
+  for (size_t i = 0; i < total; ++i) {
+    int run = 0;
+    if (p < chunks_end) {
+      const uint8_t b0 = data[p++];
+      if (b0 == kOpRgb) {
+        if (p + 3 > chunks_end) { free(result); return FEL_EIO; }
+        px.r = data[p++]; px.g = data[p++]; px.b = data[p++];
+      } else if (b0 == kOpRgba) {
+        if (p + 4 > chunks_end) { free(result); return FEL_EIO; }
+        px.r = data[p++]; px.g = data[p++]; px.b = data[p++]; px.a = data[p++];
+      } else if ((b0 & 0xC0) == kOpIndex) {
+        px = cache[b0 & 63];
+      } else if ((b0 & 0xC0) == kOpDiff) {
+        px.r += ((b0 >> 4) & 3) - 2;
+        px.g += ((b0 >> 2) & 3) - 2;
+        px.b += (b0 & 3) - 2;
+      } else if ((b0 & 0xC0) == kOpLuma) {
+        if (p + 1 > chunks_end) { free(result); return FEL_EIO; }
+        const uint8_t b1 = data[p++];
+        const int dg = (b0 & 63) - 32;
+        px.r += dg - 8 + ((b1 >> 4) & 15);
+        px.g += dg;
+        px.b += dg - 8 + (b1 & 15);
+      } else {  // kOpRun
+        run = b0 & 63;
+      }
+      cache[hash(px)] = px;
+    }
+    result[i * ch] = px.r;
+    result[i * ch + 1] = px.g;
+    result[i * ch + 2] = px.b;
+    if (ch == 4) result[i * ch + 3] = px.a;
+    for (; run > 0 && i + 1 < total; --run) {
+      ++i;
+      result[i * ch] = px.r;
+      result[i * ch + 1] = px.g;
+      result[i * ch + 2] = px.b;
+      if (ch == 4) result[i * ch + 3] = px.a;
+    }
+  }
+  *out = result;
+  *width = w;
+  *height = h;
+  *channels = ch;
+  return FEL_OK;
+}
+
+}  // extern "C"
