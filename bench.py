@@ -124,11 +124,7 @@ def tpu_bench(images):
     k0 = tiling.compute_k0(tiles_np, th, tw, cfg, nb)
     prior_j = jnp.asarray(tiling.prior_from_k0(k0, cfg, c))  # (C, nb, K)
 
-    from felics_tpu.utils.timing import _sync, fetch_rtt
-
-    # min-of-N timings pair with the min RTT sample (subtracting the median
-    # RTT from the fastest observation would overcorrect — ADVICE.md r1).
-    rtt = fetch_rtt(reduce="min")
+    from felics_tpu.utils.timing import _sync
 
     # Container-level warm pass: full bytes round-trip through the fused
     # Pallas engine (also records the self-tuned stream-width hint).
@@ -146,14 +142,16 @@ def tpu_bench(images):
             tiles_ls, *meta, prior_j, th, tw, c, W, cfg, False
         )
 
-    # Timing methodology: the tunnel RTT (~25 ms) dwarfs single-kernel
-    # device time (~2-5 ms) and its +-2 ms jitter would dominate a
-    # subtract-the-RTT estimate. So each timed dispatch runs the kernel
-    # REP times back-to-back on REP DISTINCT inputs inside ONE jitted
-    # program (one dispatch, one fetch):  t = (wall - rtt) / REP  amortizes
-    # the RTT noise REP-fold. Distinct inputs also defeat the tunnel's
-    # identical-execution cache; min over outer iterations drops stragglers.
-    REP = 8
+    # Timing methodology: the tunnel RTT (~25 ms, jitter +-2 ms) dwarfs
+    # single-kernel device time (~4 ms), and dispatches cannot pipeline
+    # through the tunnel, so per-call subtract-the-RTT estimates are noise.
+    # Instead each dispatch runs the kernel REP times back-to-back on REP
+    # DISTINCT inputs inside ONE jitted program, at TWO rep counts; the
+    # SLOPE  t = (wall[R2] - wall[R1]) / (R2 - R1)  cancels the RTT and
+    # every other fixed per-dispatch cost exactly. Distinct inputs also
+    # defeat the tunnel's identical-execution cache; min over outer
+    # iterations drops stragglers.
+    R1, R2 = 4, 12
     iters = 3
 
     def variant(seed):
@@ -161,31 +159,43 @@ def tpu_bench(images):
         v[0, 0, 2] = (v[0, 0, 2] + seed) % 255
         return v.reshape(n_tiles, c * t)
 
-    def stack_for(it):
-        return jnp.asarray(
-            np.stack([variant(it * REP + r) for r in range(REP)])
-        )
+    def make_rep_encode(rep):
+        @jax.jit
+        def rep_encode(stack):  # (rep, n_tiles, c*t)
+            outs = [
+                pc._encode_tiles_pallas(
+                    stack[r], *meta, prior_j, th, tw, c, W, cfg, False
+                )
+                for r in range(rep)
+            ]
+            return outs[-1][0], jnp.stack([b for (_, b) in outs])
 
-    @jax.jit
-    def rep_encode(stack):  # (REP, n_tiles, c*t)
-        outs = [
-            pc._encode_tiles_pallas(
-                stack[r], *meta, prior_j, th, tw, c, W, cfg, False
+        return rep_encode
+
+    def min_wall(fn, stacks, sync):
+        r = fn(stacks[0])
+        _sync(sync(r))
+        best = float("inf")
+        for s in stacks[1:]:
+            t0 = time.perf_counter()
+            r = fn(s)
+            _sync(sync(r))
+            best = min(best, time.perf_counter() - t0)
+        return best, r
+
+    enc_walls = {}
+    seed = 0
+    for rep in (R1, R2):
+        stacks = []
+        for _ in range(iters + 1):
+            stacks.append(
+                jnp.asarray(np.stack([variant(seed + r) for r in range(rep)]))
             )
-            for r in range(REP)
-        ]
-        return outs[-1][0], jnp.stack([b for (_, b) in outs])
-
-    stacks = [stack_for(it) for it in range(iters + 1)]
-    warm_words, warm_bits_all = rep_encode(stacks[0])
-    _sync(warm_bits_all)
-    enc_times = []
-    for it in range(1, iters + 1):
-        t0 = time.perf_counter()
-        words, bits_all = rep_encode(stacks[it])
-        _sync(bits_all)
-        enc_times.append(time.perf_counter() - t0)
-    t_enc = max(1e-9, min(enc_times) - rtt) / REP
+            seed += rep
+        enc_walls[rep], (words, bits_all) = min_wall(
+            make_rep_encode(rep), stacks, lambda r: r[1]
+        )
+    t_enc = max(1e-9, enc_walls[R2] - enc_walls[R1]) / (R2 - R1)
     bits = bits_all[-1]
 
     bits_np = np.asarray(bits).astype(np.int64)
@@ -205,53 +215,53 @@ def tpu_bench(images):
         # flushes zero-padded partial words.
         return cols
 
-    # One shared word width across iterations: a single compiled decode
-    # kernel serves every dispatch. The REP decode inputs per iteration are
-    # the encoder outputs of REP distinct variants.
-    wd = pc.bucket_words(
-        int(max(np.asarray(warm_bits_all).max(), np.asarray(bits_all).max())
-            + 31) // 32
-    )
+    # One shared word width: a single compiled decode kernel per rep count.
+    # Decode inputs are the encoder outputs of the last R2 variants, with
+    # per-rep distinct tile order (rolled columns; the shared batch-global
+    # prior is roll-invariant).
+    wd = pc.bucket_words(int(np.asarray(bits_all).max() + 31) // 32)
+    base_cols = cols_of(words, bits_all[-1], wd)
+    last_variant = variant(seed - 1)
 
-    @jax.jit
-    def rep_decode(cstack):  # (REP, n_tiles, wd)
-        outs = [
-            pc._decode_tiles_pallas(
-                cstack[r], *meta, prior_j, th, tw, c, cfg, False
+    def make_rep_decode(rep):
+        @jax.jit
+        def rep_decode(cstack):  # (rep, n_tiles, wd)
+            outs = [
+                pc._decode_tiles_pallas(
+                    cstack[r], *meta, prior_j, th, tw, c, cfg, False
+                )
+                for r in range(rep)
+            ]
+            # Probe one element of EVERY rep's output: a rep whose result
+            # is entirely unused would be dead-code-eliminated, not timed.
+            probes = jnp.stack([o[0, 0] for o in outs])
+            return outs[-1], probes
+
+        return rep_decode
+
+    dec_walls = {}
+    roll = 0
+    for rep in (R1, R2):
+        stacks = []
+        for _ in range(iters + 1):
+            stacks.append(
+                jnp.asarray(
+                    np.stack(
+                        [np.roll(base_cols, roll + r, axis=0) for r in range(rep)]
+                    )
+                )
             )
-            for r in range(REP)
-        ]
-        # Probe one element of EVERY rep's output: a rep whose result is
-        # entirely unused would be dead-code-eliminated and not timed.
-        probes = jnp.stack([o[0, 0] for o in outs])
-        return outs[-1], probes
-
-    def dec_stack_for(stack):
-        w_, b_all = rep_encode(stack)
-        # every rep re-encodes a distinct variant; reuse the last rep's
-        # words and synthesize the other REP-1 columns by rolling tiles
-        # (content identical per tile, order distinct per rep).
-        base = cols_of(w_, b_all[-1], wd)
-        return jnp.asarray(
-            np.stack([np.roll(base, r, axis=0) for r in range(REP)])
+            roll += rep
+        dec_walls[rep], (bufs, _pr) = min_wall(
+            make_rep_decode(rep), stacks, lambda r: r[0]
         )
+    t_dec = max(1e-9, dec_walls[R2] - dec_walls[R1]) / (R2 - R1)
 
-    dec_stacks = [dec_stack_for(s) for s in stacks]
-    bufs, _pr = rep_decode(dec_stacks[0])
-    _sync(bufs)
-    dec_times = []
-    for it in range(1, iters + 1):
-        t0 = time.perf_counter()
-        bufs, _pr = rep_decode(dec_stacks[it])
-        _sync(bufs)
-        dec_times.append(time.perf_counter() - t0)
-    t_dec = max(1e-9, min(dec_times) - rtt) / REP
-
-    # Correctness: the last rep decodes the (REP-1)-rolled columns of the
-    # last iteration's last variant — so the rolled tiles must match.
+    # Correctness: the final rep decoded columns rolled by (roll - 1), so
+    # the decoded tiles must equal the same roll of the encoded variant.
     decoded = np.asarray(bufs).reshape(tiles_np.shape)
     expect = np.roll(
-        np.asarray(stacks[iters][-1]).reshape(tiles_np.shape), REP - 1, axis=0
+        last_variant.reshape(tiles_np.shape), roll - 1, axis=0
     )
     assert np.array_equal(decoded, expect), "tiled round-trip mismatch"
 

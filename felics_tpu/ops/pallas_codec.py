@@ -583,10 +583,14 @@ def encode_tiles(
     (v0 streams). Returns (words (n_tiles, W) uint32 device array,
     bits (n_tiles,) int32 device array). If any tile's bits exceed W*32 the
     caller must fall back (detect via bits > W*32; the kernel drops
-    overflowing words safely)."""
+    overflowing words safely). ``tiles``/``prior`` may be device arrays
+    (kept on device — no host round trip) or numpy."""
     nt, c, t = tiles.shape
     meta = _meta_arrays(th, tw, c, cfg.depth_bits)
-    tiles_ls = jnp.asarray(np.ascontiguousarray(tiles.reshape(nt, c * t)))
+    if isinstance(tiles, jax.Array):
+        tiles_ls = tiles.reshape(nt, c * t)
+    else:
+        tiles_ls = jnp.asarray(np.ascontiguousarray(tiles.reshape(nt, c * t)))
     nb = int(cfg.max_context).bit_length() + 1
     if prior is None:
         prior = np.zeros((c, nb, cfg.num_k), np.int32)

@@ -55,6 +55,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache as functools_lru_cache
+
 from felics_tpu import errors
 from felics_tpu.config import (
     CodingConfig,
@@ -158,10 +160,29 @@ def read_tiled_header(data: bytes) -> TiledHeader:
     )
 
 
-def compute_k0(
-    tiles_np: np.ndarray, th: int, tw: int, cfg: CodingConfig, nb: int
+@functools_lru_cache(maxsize=4)
+def _qctx_lut(max_context: int) -> np.ndarray:
+    """bit_length lookup for 0..max_context (floats via log2 measured ~10x
+    slower on the host path; this is the container encoder's hot host op)."""
+    v = np.arange(max_context + 1, dtype=np.uint32)
+    lut = np.zeros(max_context + 1, np.int64)
+    bit = 0
+    while (1 << bit) <= max_context:
+        lut[v >= (1 << bit)] = bit + 1
+        bit += 1
+    return lut
+
+
+def compute_k0_batch(
+    tiles_np: np.ndarray,
+    counts,
+    th: int,
+    tw: int,
+    cfg: CodingConfig,
+    nb: int,
 ) -> np.ndarray:
-    """Per-(channel, bucket) globally-best Rice k over the whole image.
+    """Per-(image, channel, bucket) globally-best Rice k for a concatenated
+    tile batch; ``counts`` = tiles per image. Returns (n_imgs, C, nb) int32.
 
     Exact int64 host arithmetic (the value is written into the header and
     read back by every decoder, so engines need not recompute it — but the
@@ -169,40 +190,116 @@ def compute_k0(
     tests require the identical argmin). Ties select the largest k and
     all-zero (unseen bucket) yields the largest k, mirroring the estimator's
     selection rule (reference: src/compression/parameter_selection.rs:71-85).
+    One vectorized pass + K bincounts for the WHOLE batch (bincount weights
+    are float64 but the sums stay << 2^53, hence exact).
     """
     nt, c, t = tiles_np.shape
+    counts = np.asarray(counts, np.int64)
+    n_imgs = len(counts)
     a_idx, b_idx = neighbour_indices(th, tw, xp=np)
+    # All int32 until the bincount (tiles are int32; residuals fit easily) —
+    # int64 intermediates doubled this host pass's memory traffic.
     v1 = tiles_np[..., a_idx]
     v2 = tiles_np[..., b_idx]
-    high = np.maximum(v1, v2)
     low = np.minimum(v1, v2)
-    ctx = (high - low).astype(np.int64)
+    ctx = np.abs(v1 - v2)
     p = tiles_np
     first_two = np.arange(t) < 2
     below = (p < low) & ~first_two
-    above = (p > high) & ~first_two
+    above = (p > low + ctx) & ~first_two
     oor = below | above
-    residual = np.where(below, low - p, p - high).astype(np.int64) - 1
-    # qctx = bit_length(ctx); ctx <= max_context so this never exceeds nb-1.
-    qctx = np.zeros_like(ctx)
-    nz = ctx > 0
-    qctx[nz] = np.floor(np.log2(ctx[nz])).astype(np.int64) + 1
+    qctx = _qctx_lut(int(cfg.max_context))[ctx].astype(np.int32)
 
     k_values = np.asarray(cfg.k_values, np.int64)
     K = len(k_values)
-    # (c*nb,) bucket id per masked pixel -> K bincounts of int64 weights
-    # (bincount weights are float64 but the sums stay << 2^53, hence exact).
-    chan = np.broadcast_to(np.arange(c)[None, :, None], tiles_np.shape)
-    bucket = (chan * nb + qctx)[oor].astype(np.int64)
-    res = residual[oor]
-    totals = np.zeros((K, c * nb), np.int64)
+    img_of_tile = np.repeat(np.arange(n_imgs, dtype=np.int32), counts)
+    chan = np.arange(c, dtype=np.int32)[None, :, None]
+    bucket_full = (img_of_tile[:, None, None] * c + chan) * nb + qctx
+    bucket = bucket_full[oor]
+    # residual only on the extracted subset (typically ~half the pixels).
+    below_s = below[oor]
+    pe, le, ce = p[oor], low[oor], ctx[oor]
+    res = np.where(below_s, le - pe, pe - le - ce) - 1
+    nbuckets = n_imgs * c * nb
+    totals = np.zeros((K, nbuckets), np.int64)
     for ki, k in enumerate(k_values):
-        wts = (res >> k) + 1 + k
+        wts = (res >> k) + 1 + int(k)
         totals[ki] = np.bincount(
-            bucket, weights=wts.astype(np.float64), minlength=c * nb
+            bucket, weights=wts.astype(np.float64), minlength=nbuckets
         ).astype(np.int64)
     best = (K - 1) - np.argmin(totals[::-1], axis=0)  # ties -> largest k
-    return k_values[best].reshape(c, nb).astype(np.int32)
+    return k_values[best].reshape(n_imgs, c, nb).astype(np.int32)
+
+
+def compute_k0(
+    tiles_np: np.ndarray, th: int, tw: int, cfg: CodingConfig, nb: int
+) -> np.ndarray:
+    """Per-(channel, bucket) globally-best Rice k over one image's tiles."""
+    return compute_k0_batch(
+        tiles_np, [tiles_np.shape[0]], th, tw, cfg, nb
+    )[0]
+
+
+def k0_device_exact(cfg: CodingConfig, t: int) -> bool:
+    """Whether the on-device int32 k0 sums are provably exact: each
+    (image, channel, bucket) total is bounded by n_pixels_in_image x
+    (2^depth + depth + 2). 8-bit always passes; big noisy 16-bit images
+    could overflow int32, so they use the host int64 path."""
+    # t here is per-tile pixels; the bound must hold for a whole image's
+    # worth of tiles, so callers pass total pixels per image.
+    return t * ((1 << cfg.depth_bits) + cfg.depth_bits + 2) < (1 << 31)
+
+
+@partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb", "n_imgs"))
+def compute_k0_prior_jax(
+    tiles, img_of_tile, th: int, tw: int, cfg: CodingConfig, nb: int,
+    n_imgs: int,
+):
+    """On-device k0 + per-tile prior: (k0 (n_imgs, C, nb) int32,
+    prior (nt, C, nb, K) int32).
+
+    Same exact sums/argmin as compute_k0_batch (callers must gate with
+    k0_device_exact); keeps the whole container encode chain on-device —
+    the host k0 pass measured ~30 ms/image on a slow host and serialized
+    ahead of the kernel dispatch."""
+    from felics_tpu.ops.kscan_tiled import qctx_of as _qctx
+
+    nt, c, t = tiles.shape
+    a_idx, b_idx = neighbour_indices(th, tw, xp=jnp)
+    v1 = tiles[..., a_idx]
+    v2 = tiles[..., b_idx]
+    low = jnp.minimum(v1, v2)
+    ctx = jnp.abs(v1 - v2)
+    p = tiles
+    first_two = jnp.arange(t) < 2
+    below = (p < low) & ~first_two
+    above = (p > low + ctx) & ~first_two
+    oor = below | above
+    residual = jnp.where(below, low - p, p - low - ctx) - 1
+    qctx = _qctx(ctx)
+    kv = jnp.asarray(cfg.k_values, jnp.int32)
+    K = cfg.num_k
+    # Two-level reduction, TPU-friendly: a dense one-hot-over-buckets sum
+    # within each tile (pure VPU work — a pixel-granular scatter-add would
+    # serialize on TPU), then a tiny nt-element segment-sum over tiles into
+    # images. int32 is exact per the k0_device_exact gate.
+    onehot = (qctx[..., None] == jnp.arange(nb, dtype=jnp.int32)).astype(
+        jnp.int32
+    )  # (nt, C, t, nb)
+    per_tile = []
+    for k in cfg.k_values:
+        w = jnp.where(oor, (residual >> k) + 1 + int(k), 0)
+        per_tile.append(jnp.einsum("nct,nctb->ncb", w, onehot))
+    per_tile = jnp.stack(per_tile, axis=-1)  # (nt, C, nb, K)
+    totals = jax.ops.segment_sum(
+        per_tile, img_of_tile, num_segments=n_imgs
+    )  # (n_imgs, C, nb, K)
+    best = (K - 1) - jnp.argmin(totals[..., ::-1], axis=-1)
+    k0 = kv[best]  # (n_imgs, C, nb); ties -> largest k
+    prior_img = PRIOR_WEIGHT * jnp.abs(
+        kv[None, None, None, :] - k0[..., None]
+    )  # (n_imgs, C, nb, K)
+    return k0, prior_img[img_of_tile]
 
 
 def prior_from_k0(k0: Optional[np.ndarray], cfg: CodingConfig, c: int):
@@ -400,11 +497,20 @@ def _payload_to_columns(
     """Expand the concatenated payload back into (L, wd) uint32 word rows,
     zero-padded past each tile's byte length."""
     buf = np.frombuffer(payload, dtype=np.uint8)
-    buf = np.concatenate([buf, np.zeros(wd * 4, np.uint8)])
-    idx = starts[:, None] + np.arange(wd * 4, dtype=np.int64)[None, :]
+    lens_bytes = np.asarray(lens_bytes, np.int64)
     within = np.arange(wd * 4, dtype=np.int64)[None, :] < lens_bytes[:, None]
-    b = np.where(within, buf[np.minimum(idx, len(buf) - 1)], 0)
-    return np.ascontiguousarray(b).view(">u4").astype(np.uint32)
+    expected = int(lens_bytes.sum())
+    cums = np.cumsum(lens_bytes) - lens_bytes
+    out = np.zeros((len(lens_bytes), wd * 4), np.uint8)
+    if np.array_equal(np.asarray(starts, np.int64), cums) and len(buf) >= expected:
+        # Contiguous tile streams (every production caller): ONE row-major
+        # boolean-mask fill — ~25x faster than the padded gather below.
+        out[within] = buf[:expected]
+    else:
+        buf2 = np.concatenate([buf, np.zeros(wd * 4, np.uint8)])
+        idx = starts[:, None] + np.arange(wd * 4, dtype=np.int64)[None, :]
+        out = np.where(within, buf2[np.minimum(idx, len(buf2) - 1)], 0)
+    return np.ascontiguousarray(out).view(">u4").astype(np.uint32)
 
 
 def _resolve_engine(engine: str) -> str:
@@ -439,19 +545,24 @@ def _disable_pallas(kind: str, key: tuple, exc: Exception) -> None:
 
 
 def encode_tiles_payload(
-    tiles_np: np.ndarray,
-    prior_np: np.ndarray,
+    tiles_np,
+    prior_np,
     cfg: CodingConfig,
     th: int,
     tw: int,
     engine: str = "auto",
-) -> Tuple[np.ndarray, bytes]:
+    extra=None,
+):
     """Engine-routed tile encoding shared by the per-image and batched APIs.
 
-    tiles_np: (n_tiles, C, T) int32; prior_np: (C, nb, K) shared or
-    (n_tiles, C, nb, K) per-tile k-table seed. Returns (per-tile byte
-    lengths int64, concatenated payload bytes). Explicit ``engine="pallas"``
-    raises ValueError when the shape cannot fit the VMEM kernel plan.
+    tiles_np: (n_tiles, C, T) int32 (numpy or device array); prior_np:
+    (C, nb, K) shared or (n_tiles, C, nb, K) per-tile k-table seed (numpy
+    or device). ``extra``: optional device array fetched together with the
+    lengths in the SAME host sync (callers piggyback the on-device k0 here
+    — a separate fetch costs a full tunnel round trip). Returns (per-tile
+    byte lengths int64, concatenated payload bytes, extra-as-numpy-or-None).
+    Explicit ``engine="pallas"`` raises ValueError when the shape cannot
+    fit the VMEM kernel plan.
     """
     from felics_tpu.ops import pallas_codec
 
@@ -483,7 +594,8 @@ def encode_tiles_payload(
                 words, bits = pallas_codec.encode_tiles(
                     tiles_np, cfg, th, tw, wtry, prior_np
                 )
-                bits_np = np.asarray(bits).astype(np.int64)
+                bits_np, extra_np = jax.device_get((bits, extra))
+                bits_np = np.asarray(bits_np).astype(np.int64)
             except Exception as e:  # Mosaic compile/run failure -> XLA
                 if engine == "pallas":
                     raise
@@ -495,7 +607,7 @@ def encode_tiles_payload(
             pallas_codec.observe_width(cfg, t, c, max_bits)
             tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
             payload_b = _columns_to_payload(np.asarray(words), tile_bytes_np)
-            return tile_bytes_np, payload_b
+            return tile_bytes_np, payload_b, extra_np
         # pathological stream exceeded the fast-path word budget: fall back
 
     tiles = jnp.asarray(tiles_np)
@@ -511,14 +623,15 @@ def encode_tiles_payload(
         th, tw, cfg, nb,
     )
     n_big = bitpack.count_big_symbols(flat)
-    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
+    total, n_big, extra_np = jax.device_get((total_bytes, n_big, extra))
+    total, n_big = int(total), int(n_big)
     b_pad = bitpack.bucket_bits(total * 8)
     n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
     packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
 
     tile_bytes_np = np.asarray(tile_bytes, dtype=np.int64)
     payload = np.asarray(packed[:total]).tobytes()
-    return tile_bytes_np, payload
+    return tile_bytes_np, payload, extra_np
 
 
 def compress_tiled_bytes(
@@ -550,6 +663,20 @@ def compress_tiled_bytes(
     tiles_np, ty, tx = _prepare_tiles(image, base.color_type, th, tw)
 
     nt, c, t = tiles_np.shape
+    if k_prior and k0_device_exact(cfg, nt * t):
+        # Whole chain on device: k0 -> prior -> encode, one host sync (the
+        # k0 values ride the bits fetch for the header nibbles).
+        tiles_dev = jnp.asarray(tiles_np)
+        k0_dev, prior_dev = compute_k0_prior_jax(
+            tiles_dev, jnp.zeros((nt,), jnp.int32), th, tw, cfg, nb, 1
+        )
+        tile_bytes_np, payload_b, k0_np = encode_tiles_payload(
+            tiles_dev, prior_dev, cfg, th, tw, engine, extra=k0_dev
+        )
+        return pack_tiled_container(
+            base.color_type, base.pixel_depth, w, h, tw, th, ty * tx,
+            tile_bytes_np, payload_b, np.asarray(k0_np)[0],
+        )
     k0 = compute_k0(tiles_np, th, tw, cfg, nb) if k_prior else None
     prior_np = prior_from_k0(k0, cfg, c)  # (C, nb, K); zeros when no prior
 
@@ -568,7 +695,7 @@ def compress_tiled_bytes(
             tile_bytes_np, payload_b, k0,
         )
 
-    tile_bytes_np, payload_b = encode_tiles_payload(
+    tile_bytes_np, payload_b, _ = encode_tiles_payload(
         tiles_np, prior_np, cfg, th, tw, engine
     )
     return pack(tile_bytes_np, payload_b)
@@ -885,6 +1012,29 @@ def decode_tiles_bufs(
     )
 
 
+def assemble_image_np(
+    bufs_np: np.ndarray, th: int, tw: int, c: int, ty: int, tx: int,
+    height: int, width: int, depth_max: int,
+) -> np.ndarray:
+    """Host-side mirror of _assemble_image for already-fetched tile planes
+    (the batched decode fetches all tiles in one transfer and assembles on
+    the host). Raises on out-of-depth values like the device path."""
+    planes = (
+        bufs_np.reshape(ty, tx, c, th, tw)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(c, ty * th, tx * tw)[:, :height, :width]
+    )
+    if c == 1:
+        out = planes[0]
+    else:
+        r, g, b = ycocg_to_rgb(planes[0], planes[1], planes[2])
+        out = np.stack([r, g, b], axis=-1)
+    if out.size and (out.min() < 0 or out.max() > depth_max):
+        raise errors.InvalidValue("decoded value does not fit the pixel depth")
+    dtype = np.uint8 if depth_max == 255 else np.uint16
+    return out.astype(dtype)
+
+
 def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     header = read_tiled_header(data)
     cfg = tiled_config_for_depth(header.pixel_depth)
@@ -916,6 +1066,9 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     out, valid = _assemble_image(
         bufs, th, tw, c, ty, tx, h, w, depth_max
     )
-    if not bool(valid):
+    # ONE host sync for both (a separate bool(valid) fetch costs a full
+    # round trip on tunneled platforms).
+    out_np, valid_np = jax.device_get((out, valid))
+    if not bool(valid_np):
         raise errors.InvalidValue("decoded value does not fit the pixel depth")
-    return np.asarray(out)
+    return np.asarray(out_np)

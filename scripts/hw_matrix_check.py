@@ -52,6 +52,14 @@ def main():
                         f"OK   {tag}: {len(blob)} B ratio {ratio:.3f} "
                         f"enc {t1-t0:.1f}s dec {t2-t1:.1f}s (incl compile)"
                     )
+                except ValueError as e:
+                    if "VMEM" in str(e):
+                        # By-design: explicit pallas raises on shapes that
+                        # cannot fit the kernel plan (auto uses XLA there).
+                        print(f"SKIP {tag}: {e}")
+                    else:
+                        failures.append((tag, repr(e)[:300]))
+                        print(f"FAIL {tag}: {repr(e)[:300]}")
                 except Exception as e:
                     failures.append((tag, repr(e)[:300]))
                     print(f"FAIL {tag}: {repr(e)[:300]}")
