@@ -104,6 +104,41 @@ def bench_qoi(files, src, out_dir):
     return time.time() - start, _dir_bytes(out_dir)
 
 
+def bench_jp2(files, src, out_dir):
+    """Lossless JPEG 2000 column (reference compares jp2 ratios at
+    DOC.md:553; here via PIL's OpenJPEG binding with the reversible 5/3
+    wavelet, ``irreversible=False``). Returns None when the codec is
+    unavailable or a corpus image can't be encoded (e.g. unsupported
+    mode), mirroring the external-tool columns."""
+    from PIL import Image, features
+
+    from felics_tpu.io.images import load_image
+
+    if not features.check("jpg_2000"):
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    start = time.time()
+    for name in files:
+        image = load_image(os.path.join(src, name))
+        dst = os.path.join(out_dir, os.path.splitext(name)[0] + ".jp2")
+        try:
+            Image.fromarray(image).save(dst, format="JPEG2000", irreversible=False)
+        except Exception:
+            return None
+    return time.time() - start, _dir_bytes(out_dir)
+
+
+def bench_jp2_decompress(out_dir):
+    import numpy as np
+    from PIL import Image
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".jp2")]
+    start = time.time()
+    for name in files:
+        np.asarray(Image.open(os.path.join(out_dir, name)))
+    return time.time() - start
+
+
 def bench_qoi_decompress(out_dir):
     from felics_tpu.native import runtime
 
@@ -178,6 +213,9 @@ def main(argv=None) -> int:
     qoi = bench_qoi(files, args.corpus, os.path.join(args.out, "to_qoi"))
     if qoi:
         results[".qoi"] = qoi
+    jp2 = bench_jp2(files, args.corpus, os.path.join(args.out, "to_jp2"))
+    if jp2:
+        results[".jp2"] = jp2
 
     # Decompression pass (reference: plot_decompression_metrics,
     # bench/benchmark-small-corpus.py:104-123).
@@ -189,6 +227,8 @@ def main(argv=None) -> int:
     }
     if qoi:
         dec_times[".qoi"] = bench_qoi_decompress(os.path.join(args.out, "to_qoi"))
+    if jp2:
+        dec_times[".jp2"] = bench_jp2_decompress(os.path.join(args.out, "to_jp2"))
 
     raw = sum(
         os.path.getsize(os.path.join(args.corpus, f)) for f in files

@@ -99,6 +99,15 @@ def test_bfelics_smoke(tmp_path, rng):
     assert rc == 0
     out_fels = list((tmp_path / "out" / "to_felics").glob("*.fel"))
     assert len(out_fels) == 3
+    # jp2 column (reference DOC.md:553 compares jp2): present whenever the
+    # OpenJPEG codec is built into PIL, and losslessly round-trippable.
+    from PIL import Image, features
+
+    if features.check("jpg_2000"):
+        out_jp2 = sorted((tmp_path / "out" / "to_jp2").glob("*.jp2"))
+        assert len(out_jp2) == 3
+        src = np.asarray(Image.open(str(corpus / "im0.tiff")))
+        assert np.array_equal(np.asarray(Image.open(str(out_jp2[0]))), src)
 
 
 def test_probe_both_containers(rng):
