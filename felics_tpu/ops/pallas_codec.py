@@ -500,6 +500,7 @@ def _encode_tiles_pallas(
     bit accumulator, word ring, neighbour ring) threads through the calls as
     plain arrays. The chunk index is a scalar-prefetch operand driving the
     vals BlockSpec, so every call shares one compiled kernel."""
+    tiles_ls = tiles_ls.astype(jnp.int32)  # callers upload the narrow dtype
     L, S = tiles_ls.shape
     t = th * tw
     nb = int(cfg.max_context).bit_length() + 1
