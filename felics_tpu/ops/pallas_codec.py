@@ -86,14 +86,33 @@ def _pick_chunk(t: int, target: int = 512) -> int:
     return best
 
 
-def kernel_plan(cfg: CodingConfig, th: int, tw: int, c: int, W: int):
-    """VMEM plan for the fused kernels: (SC, NR, B, n_chunks), or None when
-    even a 128-lane block cannot fit (callers fall back to the XLA engine).
+def _best_block(bmax: int, nt) -> int:
+    """Lane block <= bmax for nt lanes: minimize padded lanes (every padding
+    lane costs real VPU work in every step), then minimize block count (the
+    per-step scalar bookkeeping is paid once per block). nt=None -> bmax."""
+    if nt is None:
+        return bmax
+    return min(
+        range(128, bmax + 1, 128),
+        key=lambda b: (-(-nt // b) * b, -(-nt // b)),
+    )
+
+
+def kernel_plan(
+    cfg: CodingConfig, th: int, tw: int, c: int, W: int, nt=None
+):
+    """VMEM plan for the fused encode kernel: (SC, NR, B, n_chunks), or None
+    when even a 128-lane block cannot fit (callers fall back to the XLA
+    engine). ``nt``: actual lane count when known — B is then sized to it
+    (see _best_block).
 
     Accounting: double-buffered pixel chunk + stream block, single-buffered
-    scratch (k-table, word ring, causal-neighbour ring, scalar state)."""
+    scratch (k-table, word ring, causal-neighbour ring, scalar state). The
+    pixel-chunk size SC trades VMEM against per-call overhead: a smaller
+    chunk means more pallas calls but frees VMEM for a larger lane block,
+    which amortizes the per-step scalar bookkeeping over more lanes — so
+    the plan searches chunk sizes for the one maximizing B."""
     t = th * tw
-    sc = _pick_chunk(t)
     nr = 1 << (2 * tw + 2 - 1).bit_length()  # pow2 ring covering 2*tw+2 rows
     nbk = (int(cfg.max_context).bit_length() + 1) * cfg.num_k
     nt_rows = -(-nbk // 8) * 8
@@ -102,12 +121,18 @@ def kernel_plan(cfg: CodingConfig, th: int, tw: int, c: int, W: int):
     # (2x each), per-lane k-prior block in (2x) — conservative so multi-
     # lane-block grids never stack-OOM.
     state = nt_rows + 8 + _RING + nr
-    per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
-    b = _VMEM_BUDGET // max(per_lane, 1)
-    b = min(2048, (b // 128) * 128)
-    if b < 128:
+    best = None
+    for tgt in (512, 256, 128, 64):
+        sc = _pick_chunk(t, tgt)
+        per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
+        b = _VMEM_BUDGET // max(per_lane, 1)
+        b = min(2048, (b // 128) * 128)
+        if b >= 128 and (best is None or b > best[0]):
+            best = (b, sc)
+    if best is None:
         return None
-    return sc, nr, b, (c * t) // sc
+    bmax, sc = best
+    return sc, nr, _best_block(bmax, nt), (c * t) // sc
 
 
 @functools.lru_cache(maxsize=64)
@@ -506,7 +531,7 @@ def _encode_tiles_pallas(
     nb = int(cfg.max_context).bit_length() + 1
     K = cfg.num_k
     NT = -(-(nb * K) // 8) * 8
-    SC, NR, B, n_chunks = kernel_plan(cfg, th, tw, c, W)
+    SC, NR, B, n_chunks = kernel_plan(cfg, th, tw, c, W, nt=L)
     Lp = -(-L // B) * B
     vals = jnp.pad(tiles_ls, ((0, Lp - L), (0, 0))).T  # (S, Lp)
 
@@ -669,14 +694,15 @@ def decode_fits(S: int, W: int, c: int, cfg: CodingConfig) -> bool:
     return 4 * (2 * (S + W + c * _prior_rows(c, cfg)) + 96) * 128 <= _VMEM_BUDGET
 
 
-def _lane_block_full(S: int, W: int, c: int, cfg: CodingConfig) -> int:
+def _lane_block_full(S: int, W: int, c: int, cfg: CodingConfig, nt=None) -> int:
     """Lane block for the non-chunked decode kernel: the full (S, B) output,
     (W, B) stream block and (c*NT, B) prior are VMEM-resident
-    (double-buffered)."""
+    (double-buffered). ``nt``: actual lane count when known — B is then
+    sized to it (see _best_block)."""
     per_lane = 4 * (2 * (S + W + c * _prior_rows(c, cfg)) + 96)
     b = _VMEM_BUDGET // max(per_lane, 1)
     b = min(2048, (b // 128) * 128)
-    return max(128, b)
+    return _best_block(max(128, b), nt)
 
 
 def _decode_kernel_body(
@@ -1018,7 +1044,7 @@ def _decode_tiles_pallas(
     nb = int(cfg.max_context).bit_length() + 1
     K = cfg.num_k
     NT = -(-(nb * K) // 8) * 8
-    B = _lane_block_full(S, W, c, cfg)
+    B = _lane_block_full(S, W, c, cfg, nt=L)
     Lp = -(-L // B) * B
     cols = jnp.pad(cols_lw, ((0, Lp - L), (0, 0))).T  # (W, Lp)
 

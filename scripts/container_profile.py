@@ -61,9 +61,10 @@ for it in range(2):
     tiles_np = np.concatenate([p[0] for p in parts])
     tile_group = np.repeat(np.arange(len(vs)), counts)
     t0 = stamp("prepare_tiles (host)", t0)
-    tiles_dev = jax.device_put(jnp.asarray(tiles_np))
+    tiles_small = tiles_np.astype(tiling.narrow_tile_dtype(cfg.depth_bits, 1))
+    tiles_dev = jax.device_put(jnp.asarray(tiles_small))
     tiles_dev.block_until_ready()
-    t0 = stamp(f"upload tiles int32 {tiles_np.nbytes/1e6:.1f}MB", t0)
+    t0 = stamp(f"upload tiles {tiles_small.dtype} {tiles_small.nbytes/1e6:.1f}MB", t0)
     k0_dev, prior_dev = tiling.compute_k0_prior_jax(
         tiles_dev, jnp.asarray(tile_group, jnp.int32), th, tw, cfg, nb, len(vs)
     )
@@ -98,5 +99,6 @@ for it in range(2):
     bufs = tiling.decode_tiles_bufs(payload, lens, th, tw, 1, cfg, priors, tg, "pallas")
     jax.block_until_ready(bufs)
     t0 = stamp("decode_tiles_bufs (all)", t0)
-    bufs_np = np.asarray(bufs)
-    t0 = stamp(f"fetch bufs {bufs_np.nbytes/1e6:.1f}MB", t0)
+    small, badf = tiling._narrow_bufs(bufs, cfg.depth_bits, "uint8")
+    bufs_np, _ = jax.device_get((small, badf))
+    t0 = stamp(f"narrow + fetch bufs {bufs_np.nbytes/1e6:.1f}MB", t0)

@@ -49,3 +49,37 @@ def test_batch_small_image_fallback(rng):
 def test_empty_batch():
     assert compress_tiled_batch([]) == []
     assert decompress_tiled_batch([]) == []
+
+
+def test_batch_decode_corruption_raises_or_is_exact(rng):
+    """Corrupting one image's payload in a batch must either raise a clean
+    DecompressionError or decode other images exactly — never silently wrap
+    garbage values through the narrow-dtype fetch (tiling._narrow_bufs
+    flags values outside the plane bounds before the cast)."""
+    import pytest
+
+    from felics_tpu import errors
+
+    images = [smooth(rng, 32, 32), smooth(rng, 32, 32), smooth(rng, 32, 32)]
+    blobs = compress_tiled_batch(images, TILE16)
+    hdr = tiling.read_tiled_header(blobs[1])
+    bad = bytearray(blobs[1])
+    # flood tile 0's stream with ones: long unary runs decode to huge
+    # residuals far outside any valid plane range
+    for off in range(hdr.payload_off, min(hdr.payload_off + 8, len(bad))):
+        bad[off] = 0xFF
+    batch = [blobs[0], bytes(bad), blobs[2]]
+    try:
+        outs = decompress_tiled_batch(batch)
+    except errors.DecompressionError:
+        pass  # clean, typed failure
+    else:
+        # images 0 and 2 must still be exact; image 1 may be garbage but
+        # must have the right shape/dtype
+        np.testing.assert_array_equal(outs[0], images[0])
+        np.testing.assert_array_equal(outs[2], images[2])
+        assert outs[1].shape == images[1].shape
+        assert outs[1].dtype == images[1].dtype
+    # the clean blobs keep decoding exactly on their own
+    for im, d in ((images[0], blobs[0]), (images[2], blobs[2])):
+        np.testing.assert_array_equal(tiling.decompress_tiled_bytes(d), im)
