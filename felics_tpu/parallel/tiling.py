@@ -522,6 +522,115 @@ def _columns_to_payload(words_lw: np.ndarray, lens_bytes: np.ndarray) -> bytes:
     return rows[mask].tobytes()
 
 
+def _bucket_bytes(n: int) -> int:
+    """Round a byte count up to a coarse bucket (bounds jit recompiles)."""
+    n = max(1 << 12, int(n))
+    gran = 1 << max(10, n.bit_length() - 3)
+    return -(-n // gran) * gran
+
+
+_payload_hints: dict = {}  # (t, c, depth) -> observed max payload bytes/tile
+
+
+def payload_cap_hint(cfg: CodingConfig, nt: int, t: int, c: int) -> int:
+    """Self-tuned capacity (bytes) for the on-device compacted payload.
+
+    Starts at the raw plane size + per-tile preamble slack (FELICS almost
+    always compresses, so this rarely overflows); shrinks toward 1.25x the
+    largest per-tile payload observed for this (t, c, depth). Overflow is
+    detected exactly (the true total rides the same fetch) and retried at
+    the exact bucketed size, so a stale hint costs one extra round trip,
+    never correctness."""
+    key = (t, c, cfg.pixel_depth)
+    raw = c * t * cfg.depth_bits // 8 + 32
+    hint = _payload_hints.get(key)
+    per_tile = raw if hint is None else min(raw, hint + hint // 4)
+    return _bucket_bytes(nt * per_tile)
+
+
+def observe_payload(cfg: CodingConfig, t: int, c: int, max_tile_bytes: int):
+    key = (t, c, cfg.pixel_depth)
+    _payload_hints[key] = max(_payload_hints.get(key, 0), int(max_tile_bytes))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_payload_jit(words, bits, cap: int):
+    """Compact per-tile big-endian word rows into the concatenated payload
+    ON DEVICE, so the host fetches ~compressed-size bytes instead of the
+    full padded (L, W) word matrix (measured 9.4 MB -> 2.0 MB per 12-image
+    batch on the tunneled platform, the single largest container-path cost).
+
+    Word-granular 1D gathers only (the bitpack.py lesson: byte-granular or
+    2D gathers serialize on TPU). Every output 32-bit word merges two
+    adjacent source words of its tile plus, when a byte-aligned tile
+    boundary falls inside it, the head of the next tile's stream. VALID
+    ONLY when every tile's payload is >= 8 bytes (else >2 tiles could share
+    an output word) — callers check the fetched lengths and fall back to
+    host compaction otherwise; any real tile stream is far larger.
+
+    words: (L, W) uint32 big-endian rows; bits: (L,) int32 true bit counts.
+    Returns (payload (cap,) uint8, tile_bytes (L,) int32, total int32).
+    Bytes past ``total`` are zero; if total > cap the payload is truncated
+    and the caller must retry with a bigger cap."""
+    from felics_tpu.ops.bitpack import _ONES, _shl, _shr
+
+    assert cap % 4 == 0
+    L, W = words.shape
+    flat = words.reshape(L * W)
+    tile_bytes = (bits + 7) // 8
+    starts = jnp.cumsum(tile_bytes) - tile_bytes
+    total = starts[-1] + tile_bytes[-1]
+    pos = jnp.arange(cap // 4, dtype=jnp.int32) * 4  # output word byte pos
+    tile = jnp.clip(jnp.searchsorted(starts, pos, side="right") - 1, 0, L - 1)
+    st = starts[tile]
+    j = pos - st  # byte offset within the tile's row, >= 0
+    base = tile * W + (j >> 2)
+    sh = ((j & 3) * 8).astype(jnp.uint32)
+    w0 = flat[jnp.clip(base, 0, L * W - 1)]
+    w1 = flat[jnp.clip(base + 1, 0, L * W - 1)]
+    cur = _shl(w0, sh) | _shr(w1, 32 - sh)  # sh==0: _shr(x,32) is 0
+    # Zero bytes past this tile's end (w1 may even be the next ROW's word 0
+    # when j straddles the row edge — masked off the same way) ...
+    valid = jnp.clip(st + tile_bytes[tile] - pos, 0, 4)
+    cur &= ~_shr(_ONES, valid * 8)
+    # ... then OR in the next tile's first bytes where its start falls
+    # inside this word (cross <= 3: a start <= pos would have been `tile`).
+    t2 = jnp.clip(tile + 1, 0, L - 1)
+    cross = jnp.clip(pos + 4 - starts[t2], 0, 4)
+    head = _shr(flat[t2 * W], 32 - cross * 8)
+    cur |= jnp.where((t2 > tile) & (cross > 0), head, jnp.uint32(0))
+    cur = jnp.where(pos < total, cur, jnp.uint32(0))
+    out = jnp.stack(
+        [cur >> 24, cur >> 16, cur >> 8, cur], axis=1
+    ).astype(jnp.uint8)
+    return out.reshape(-1), tile_bytes, total
+
+
+@partial(jax.jit, static_argnames=("wd",))
+def _expand_columns_jit(payload_u8, starts, lens, wd: int):
+    """Inverse of _compact_payload_jit: concatenated payload bytes back into
+    (L, wd) uint32 big-endian word rows ON DEVICE (the host uploads the
+    ~compressed-size byte stream instead of a padded word matrix).
+    Word-granular 1D gathers; rows are zero past each tile's byte length.
+
+    payload_u8: (P,) uint8, P a multiple of 4 (bucket-padded); starts/lens:
+    (L,) int32 byte offsets/lengths per tile."""
+    from felics_tpu.ops.bitpack import _ONES, _shl, _shr
+
+    P = payload_u8.shape[0]
+    b = payload_u8.reshape(P // 4, 4).astype(jnp.uint32)
+    pw = (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+    off = (jnp.arange(wd, dtype=jnp.int32) * 4)[None, :]
+    bytepos = starts[:, None] + off  # (L, wd)
+    wi = bytepos >> 2
+    sh = ((bytepos & 3) * 8).astype(jnp.uint32)
+    w0 = pw[jnp.clip(wi, 0, P // 4 - 1)]
+    w1 = pw[jnp.clip(wi + 1, 0, P // 4 - 1)]
+    cur = _shl(w0, sh) | _shr(w1, 32 - sh)
+    valid = jnp.clip(lens[:, None] - off, 0, 4)
+    return cur & ~_shr(_ONES, valid * 8)
+
+
 def _payload_to_columns(
     payload: bytes, starts: np.ndarray, lens_bytes: np.ndarray, wd: int
 ) -> np.ndarray:
@@ -625,8 +734,44 @@ def encode_tiles_payload(
                 words, bits = pallas_codec.encode_tiles(
                     tiles_np, cfg, th, tw, wtry, prior_np
                 )
-                bits_np, extra_np = jax.device_get((bits, extra))
-                bits_np = np.asarray(bits_np).astype(np.int64)
+                # Compact the payload on device and fetch everything in ONE
+                # transfer: bits + extra + ~compressed-size bytes (the old
+                # full (L, W) word fetch measured ~5x the payload bytes on
+                # the tunneled platform). int32 offsets gate the fast path.
+                on_device = nt * wtry * 4 < (1 << 31)
+                cap = payload_cap_hint(cfg, nt, t, c) if on_device else 0
+                for _try in range(3):
+                    if not on_device:
+                        break
+                    pay_dev, _tb, total_dev = _compact_payload_jit(
+                        words, bits, cap
+                    )
+                    bits_np, extra_np, pay_np, total = jax.device_get(
+                        (bits, extra, pay_dev, total_dev)
+                    )
+                    bits_np = np.asarray(bits_np).astype(np.int64)
+                    if int(bits_np.max()) > wtry * 32:
+                        break  # W overflow: the outer loop retries bigger W
+                    if int(bits_np.min()) < 64:  # toy tiles: host compaction
+                        on_device = False        # (_compact precondition)
+                        break
+                    if int(total) <= cap:
+                        pallas_codec.observe_width(
+                            cfg, t, c, int(bits_np.max())
+                        )
+                        tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
+                        observe_payload(cfg, t, c, int(tile_bytes_np.max()))
+                        return (
+                            tile_bytes_np,
+                            pay_np[: int(total)].tobytes(),
+                            extra_np,
+                        )
+                    cap = _bucket_bytes(int(total))  # cap overflow: retry
+                else:
+                    on_device = False  # 3 cap retries: give up on fast path
+                if not on_device:  # host compaction fallback (huge batches)
+                    bits_np, extra_np = jax.device_get((bits, extra))
+                    bits_np = np.asarray(bits_np).astype(np.int64)
             except Exception as e:  # Mosaic compile/run failure -> XLA
                 if engine == "pallas":
                     raise
@@ -1017,15 +1162,31 @@ def decode_tiles_bufs(
         and fits
     ):
         starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        cols = _payload_to_columns(payload[:expected], starts_b, lens, wd)
         if tile_group is None or prior_np.shape[0] == 1:
             pr = prior_np[0]  # shared (C, nb, K) seed
         else:
             pr = prior_np[np.asarray(tile_group)]  # per-tile (nt, C, nb, K)
         try:
-            return pallas_codec.decode_tiles(
-                jnp.asarray(cols), cfg, th, tw, c, pr
-            )
+            if expected < (1 << 31):
+                # Upload the ~compressed-size byte stream (bucket-padded to
+                # bound recompiles) and expand to word rows ON DEVICE — the
+                # host-side expansion uploaded a padded word matrix ~1.5x
+                # the payload and burned host time building it.
+                pad = _bucket_bytes(expected)
+                buf = np.frombuffer(
+                    payload[:expected].ljust(pad, b"\0"), dtype=np.uint8
+                )
+                cols_dev = _expand_columns_jit(
+                    jnp.asarray(buf),
+                    jnp.asarray(starts_b, jnp.int32),
+                    jnp.asarray(lens, jnp.int32),
+                    wd,
+                )
+            else:
+                cols_dev = jnp.asarray(
+                    _payload_to_columns(payload[:expected], starts_b, lens, wd)
+                )
+            return pallas_codec.decode_tiles(cols_dev, cfg, th, tw, c, pr)
         except Exception as e:  # Mosaic compile/run failure -> XLA
             if engine == "pallas":
                 raise
