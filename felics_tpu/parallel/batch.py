@@ -59,19 +59,26 @@ def compress_tiled_batch(
     tile_group = np.repeat(np.arange(len(images)), counts)
     nt, _, t = tiles_np.shape
     if tiling.k0_device_exact(cfg, int(max(counts)) * t):
-        # Whole chain on device (k0 -> prior -> encode, one host sync).
-        # Narrow-dtype upload: 2-4x less wire than int32 on tunneled hosts.
+        # Whole chain on device (k0 -> prior -> encode -> payload
+        # compaction), ONE dispatch + ONE host sync when the fused fast
+        # path applies. Narrow-dtype upload: 2-4x less wire than int32.
         tiles_dev = jnp.asarray(
             tiles_np.astype(tiling.narrow_tile_dtype(cfg.depth_bits, c))
         )
-        k0_dev, prior_dev = tiling.compute_k0_prior_jax(
-            tiles_dev, jnp.asarray(tile_group, jnp.int32), th, tw, cfg, nb,
-            len(images),
+        res = tiling.encode_container_onepass(
+            tiles_dev, tile_group, th, tw, cfg, nb, len(images), engine
         )
-        lengths, payload, k0s = tiling.encode_tiles_payload(
-            tiles_dev, prior_dev, cfg, th, tw, engine, extra=k0_dev
-        )
-        k0s = np.asarray(k0s)
+        if res is not None:
+            lengths, payload, k0s = res
+        else:  # split path (XLA engine / fallback)
+            k0_dev, prior_dev = tiling.compute_k0_prior_jax(
+                tiles_dev, jnp.asarray(tile_group, jnp.int32), th, tw, cfg,
+                nb, len(images),
+            )
+            lengths, payload, k0s = tiling.encode_tiles_payload(
+                tiles_dev, prior_dev, cfg, th, tw, engine, extra=k0_dev
+            )
+            k0s = np.asarray(k0s)
     else:
         # Host int64 path (16-bit sums can overflow device int32).
         k0s = tiling.compute_k0_batch(tiles_np, counts, th, tw, cfg, nb)
@@ -126,26 +133,32 @@ def decompress_tiled_batch(
     tile_group = np.repeat(
         np.arange(len(headers)), [h.n_tiles for h in headers]
     )
-    bufs = tiling.decode_tiles_bufs(
+    # Fused single-dispatch chain (expand + decode + clamp/narrow on
+    # device, ONE fetch of the narrowed planes), then host-side assembly
+    # (transpose/crop/inverse-YCoCg are cheap numpy; per-image device
+    # assembles cost a dispatch + fetch round trip EACH — measured ~2/3 of
+    # batch decode wall time on the tunneled platform). The fetch rides
+    # the narrow dtype (4x less wire for gray8); values a valid stream
+    # cannot produce are clamped on device and flagged per tile so the
+    # cast never wraps garbage into the valid range.
+    depth_bits = 8 if h0.pixel_depth == PixelDepth.EIGHT else 16
+    res = tiling.decode_container_onepass(
         payload, lens, th, tw, c, cfg, priors, tile_group, engine
     )
-
-    # ONE device->host transfer for the whole batch, then host-side
-    # assembly (transpose/crop/inverse-YCoCg are cheap numpy; per-image
-    # device assembles cost a dispatch + fetch round trip EACH — measured
-    # ~2/3 of batch decode wall time on the tunneled platform). The fetch
-    # rides the narrow dtype (4x less wire for gray8); values a valid
-    # stream cannot produce are clamped on device and flagged per tile so
-    # the cast never wraps garbage into the valid range.
-    depth_bits = 8 if h0.pixel_depth == PixelDepth.EIGHT else 16
-    nd = tiling.narrow_tile_dtype(depth_bits, c)
-    bad_np = None
-    if nd.itemsize < 4:
-        small, bad = tiling._narrow_bufs(bufs, depth_bits, nd.name)
-        small_np, bad_np = jax.device_get((small, bad))
-        bufs_np = np.asarray(small_np).astype(np.int32)
+    if res is not None:
+        bufs_np, bad_np = res
     else:
-        bufs_np = np.asarray(bufs)
+        bufs = tiling.decode_tiles_bufs(
+            payload, lens, th, tw, c, cfg, priors, tile_group, engine
+        )
+        nd = tiling.narrow_tile_dtype(depth_bits, c)
+        bad_np = None
+        if nd.itemsize < 4:
+            small, bad = tiling._narrow_bufs(bufs, depth_bits, nd.name)
+            small_np, bad_np = jax.device_get((small, bad))
+            bufs_np = np.asarray(small_np).astype(np.int32)
+        else:
+            bufs_np = np.asarray(bufs)
     depth_max = 255 if h0.pixel_depth == PixelDepth.EIGHT else 65535
     out: List[np.ndarray] = []
     t0 = 0

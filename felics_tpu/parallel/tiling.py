@@ -529,28 +529,31 @@ def _bucket_bytes(n: int) -> int:
     return -(-n // gran) * gran
 
 
-_payload_hints: dict = {}  # (t, c, depth) -> observed max payload bytes/tile
+_payload_hints: dict = {}  # (t, c, depth) -> observed MEAN payload bytes/tile
 
 
 def payload_cap_hint(cfg: CodingConfig, nt: int, t: int, c: int) -> int:
     """Self-tuned capacity (bytes) for the on-device compacted payload.
 
     Starts at the raw plane size + per-tile preamble slack (FELICS almost
-    always compresses, so this rarely overflows); shrinks toward 1.25x the
-    largest per-tile payload observed for this (t, c, depth). Overflow is
-    detected exactly (the true total rides the same fetch) and retried at
-    the exact bucketed size, so a stale hint costs one extra round trip,
-    never correctness."""
+    always compresses, so this rarely overflows); shrinks toward ~1.2x the
+    largest MEAN per-tile payload observed for this (t, c, depth) — the
+    mean, not the max: the fetch cost is nt * cap, and a max-based cap
+    over-fetched 60%+ on real batches. Overflow is detected exactly (the
+    true total rides the same fetch) and retried at the exact bucketed
+    size, so a stale hint costs one extra round trip, never correctness."""
     key = (t, c, cfg.pixel_depth)
     raw = c * t * cfg.depth_bits // 8 + 32
     hint = _payload_hints.get(key)
-    per_tile = raw if hint is None else min(raw, hint + hint // 4)
+    per_tile = raw if hint is None else min(raw, hint + hint // 5 + 64)
     return _bucket_bytes(nt * per_tile)
 
 
-def observe_payload(cfg: CodingConfig, t: int, c: int, max_tile_bytes: int):
+def observe_payload(cfg: CodingConfig, t: int, c: int, mean_tile_bytes: int):
     key = (t, c, cfg.pixel_depth)
-    _payload_hints[key] = max(_payload_hints.get(key, 0), int(max_tile_bytes))
+    _payload_hints[key] = max(
+        _payload_hints.get(key, 0), int(mean_tile_bytes) + 1
+    )
 
 
 @partial(jax.jit, static_argnames=("cap",))
@@ -629,6 +632,235 @@ def _expand_columns_jit(payload_u8, starts, lens, wd: int):
     cur = _shl(w0, sh) | _shr(w1, 32 - sh)
     valid = jnp.clip(lens[:, None] - off, 0, 4)
     return cur & ~_shr(_ONES, valid * 8)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-dispatch container chains. The dev tunnel does NOT pipeline
+# dispatches (each costs ~12-25 ms wall, docs/DESIGN.md §7), so the serving
+# path fuses its whole device chain into ONE jitted call each way:
+#   encode:  k0/prior -> fused Pallas encode -> payload compaction
+#   decode:  column expansion -> fused Pallas decode -> clamp/narrow
+# leaving exactly upload + dispatch + fetch per direction.
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("th", "tw", "cfg", "nb", "n_imgs", "W", "cap",
+                     "interpret"),
+)
+def _fused_encode_chain(
+    tiles, img_of_tile, th: int, tw: int, cfg: CodingConfig, nb: int,
+    n_imgs: int, W: int, cap: int, interpret: bool,
+):
+    """tiles: (nt, C, T) narrow-dtype array. Returns (payload (cap,) uint8,
+    bits (nt,) int32, k0 (n_imgs, C, nb) int32, total int32)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    nt, c, t = tiles.shape
+    k0, prior = compute_k0_prior_jax(
+        tiles, img_of_tile, th, tw, cfg, nb, n_imgs
+    )
+    meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
+    words, bits = pc._encode_tiles_pallas(
+        tiles.reshape(nt, c * t), *meta, prior, th, tw, c, W, cfg, interpret
+    )
+    payload, _tb, total = _compact_payload_jit(words, bits, cap)
+    return payload, bits, k0, total
+
+
+def encode_container_onepass(
+    tiles_host, tile_group, th: int, tw: int, cfg: CodingConfig, nb: int,
+    n_imgs: int, engine: str,
+):
+    """Single-dispatch device container encode (k0 + prior + Pallas encode +
+    payload compaction fused). Returns (tile_bytes int64, payload bytes,
+    k0s (n_imgs, C, nb) int32) or None when the fast path is unavailable
+    (non-pallas engine, VMEM-infeasible, Mosaic failure, toy tiles) — the
+    caller then uses the split encode_tiles_payload path."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    nt, c, t = tiles_host.shape
+    if nt == 0 or _resolve_engine(engine) != "pallas":
+        return None
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if not _pallas_usable("encode", enc_key):
+        return None
+    wcap = pc.encode_width_bound(cfg, t, c)
+    if nt * wcap * 4 >= (1 << 31):
+        return None  # int32 offsets in the compactor
+    interpret = not pc.on_tpu()
+    tiles_dev = jnp.asarray(tiles_host)
+    tg = jnp.asarray(np.asarray(tile_group, np.int32))
+    for wtry in dict.fromkeys([pc.width_hint(cfg, t, c), wcap]):
+        if not pc.kernel_plan(cfg, th, tw, c, wtry):
+            break
+        cap = payload_cap_hint(cfg, nt, t, c)
+        for _ in range(3):
+            try:
+                pay, bits, k0, total = _fused_encode_chain(
+                    tiles_dev, tg, th, tw, cfg, nb, n_imgs, wtry, cap,
+                    interpret,
+                )
+                bits_np, k0_np, pay_np, total_i = jax.device_get(
+                    (bits, k0, pay, total)
+                )
+            except Exception as e:  # Mosaic compile/run failure
+                if engine == "pallas":
+                    raise
+                _disable_pallas("encode", enc_key, e)
+                return None
+            bits_np = np.asarray(bits_np).astype(np.int64)
+            if int(bits_np.max()) > wtry * 32:
+                break  # W overflow: retry at the next (bigger) W
+            if int(bits_np.min()) < 64:
+                return None  # toy tiles: _compact precondition fails
+            if int(total_i) <= cap:
+                pc.observe_width(cfg, t, c, int(bits_np.max()))
+                tb = ((bits_np + 7) // 8).astype(np.int64)
+                observe_payload(cfg, t, c, int(tb.sum()) // nt)
+                return tb, pay_np[: int(total_i)].tobytes(), np.asarray(k0_np)
+            cap = _bucket_bytes(int(total_i))  # cap overflow: exact retry
+        else:
+            return None
+    return None
+
+
+@partial(
+    jax.jit,
+    static_argnames=("th", "tw", "c", "cfg", "wd", "out_dtype", "interpret"),
+)
+def _fused_decode_chain(
+    payload_u8, starts, lens, prior, th: int, tw: int, c: int,
+    cfg: CodingConfig, wd: int, out_dtype: str, interpret: bool,
+):
+    """payload_u8: (P,) uint8 bucket-padded concatenated tile streams.
+    Returns (tiles (nt, C, T) narrowed, bad (nt,) bool out-of-depth flags)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    cols = _expand_columns_jit(payload_u8, starts, lens, wd)
+    meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
+    bufs = pc._decode_tiles_pallas(
+        cols, *meta, prior, th, tw, c, cfg, interpret
+    )
+    nt = starts.shape[0]
+    bufs = bufs.reshape(nt, c, th * tw)
+    return _narrow_bufs(bufs, cfg.depth_bits, out_dtype)
+
+
+def decode_container_onepass(
+    payload: bytes, lens: np.ndarray, th: int, tw: int, c: int,
+    cfg: CodingConfig, prior_np: np.ndarray, tile_group, engine: str,
+):
+    """Single-dispatch device container decode (column expansion + Pallas
+    decode + clamp/narrow fused); ONE fetch of the narrowed tile planes.
+    Returns (tiles_np (nt, C, T) int32, bad_np (nt,) bool) or None when the
+    fast path is unavailable (callers use decode_tiles_bufs)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    lens = np.asarray(lens, np.int64)
+    nt = lens.shape[0]
+    if nt == 0 or _resolve_engine(engine) != "pallas":
+        return None
+    expected = int(lens.sum())
+    if expected >= (1 << 31):
+        return None
+    wd = pc.bucket_words(int(-(-lens.max(initial=1) // 4)))
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    if not (_pallas_usable("decode", dec_key)
+            and pc.decode_fits(c * th * tw, wd, c, cfg)):
+        return None
+    starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    if tile_group is None or prior_np.shape[0] == 1:
+        pr = prior_np[0]
+    else:
+        pr = prior_np[np.asarray(tile_group)]
+    pad = _bucket_bytes(expected)
+    buf = np.frombuffer(payload[:expected].ljust(pad, b"\0"), dtype=np.uint8)
+    nd = narrow_tile_dtype(cfg.depth_bits, c)
+    try:
+        small, bad = _fused_decode_chain(
+            jnp.asarray(buf),
+            jnp.asarray(starts_b, jnp.int32),
+            jnp.asarray(lens, jnp.int32),
+            jnp.asarray(pr),
+            th, tw, c, cfg, wd, nd.name, not pc.on_tpu(),
+        )
+        small_np, bad_np = jax.device_get((small, bad))
+    except Exception as e:  # Mosaic compile/run failure
+        if engine == "pallas":
+            raise
+        _disable_pallas("decode", dec_key, e)
+        return None
+    return np.asarray(small_np).astype(np.int32), np.asarray(bad_np)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("th", "tw", "c", "cfg", "wd", "ty", "tx", "h", "w",
+                     "depth_max", "interpret"),
+)
+def _fused_decode_image_chain(
+    payload_u8, starts, lens, prior, th: int, tw: int, c: int,
+    cfg: CodingConfig, wd: int, ty: int, tx: int, h: int, w: int,
+    depth_max: int, interpret: bool,
+):
+    """Per-image chain: expand + Pallas decode + tile assembly/inverse
+    color transform, fused into one dispatch. Returns (image, valid)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    cols = _expand_columns_jit(payload_u8, starts, lens, wd)
+    meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
+    bufs = pc._decode_tiles_pallas(
+        cols, *meta, prior, th, tw, c, cfg, interpret
+    )
+    bufs = bufs.reshape(starts.shape[0], c, th * tw)
+    return _assemble_image(bufs, th, tw, c, ty, tx, h, w, depth_max)
+
+
+def decode_image_onepass(
+    payload: bytes, lens: np.ndarray, th: int, tw: int, c: int,
+    cfg: CodingConfig, prior_np: np.ndarray, ty: int, tx: int, h: int,
+    w: int, depth_max: int, engine: str,
+):
+    """Single-dispatch per-image decode (expand + decode + assemble fused);
+    ONE fetch of (image, valid). Returns np image or None (fast path
+    unavailable; callers use the split decode_tiles_bufs path). Raises
+    InvalidValue for out-of-depth decoded values like the split path."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    lens = np.asarray(lens, np.int64)
+    nt = lens.shape[0]
+    if nt == 0 or _resolve_engine(engine) != "pallas":
+        return None
+    expected = int(lens.sum())
+    if expected >= (1 << 31):
+        return None
+    wd = pc.bucket_words(int(-(-lens.max(initial=1) // 4)))
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    if not (_pallas_usable("decode", dec_key)
+            and pc.decode_fits(c * th * tw, wd, c, cfg)):
+        return None
+    starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pad = _bucket_bytes(expected)
+    buf = np.frombuffer(payload[:expected].ljust(pad, b"\0"), dtype=np.uint8)
+    try:
+        out, valid = _fused_decode_image_chain(
+            jnp.asarray(buf),
+            jnp.asarray(starts_b, jnp.int32),
+            jnp.asarray(lens, jnp.int32),
+            jnp.asarray(prior_np[0]),
+            th, tw, c, cfg, wd, ty, tx, h, w, depth_max, not pc.on_tpu(),
+        )
+        out_np, valid_np = jax.device_get((out, valid))
+    except Exception as e:  # Mosaic compile/run failure
+        if engine == "pallas":
+            raise
+        _disable_pallas("decode", dec_key, e)
+        return None
+    if not bool(valid_np):
+        raise errors.InvalidValue("decoded value does not fit the pixel depth")
+    return np.asarray(out_np)
 
 
 def _payload_to_columns(
@@ -760,7 +992,9 @@ def encode_tiles_payload(
                             cfg, t, c, int(bits_np.max())
                         )
                         tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
-                        observe_payload(cfg, t, c, int(tile_bytes_np.max()))
+                        observe_payload(
+                            cfg, t, c, int(tile_bytes_np.sum()) // nt
+                        )
                         return (
                             tile_bytes_np,
                             pay_np[: int(total)].tobytes(),
@@ -840,12 +1074,21 @@ def compress_tiled_bytes(
 
     nt, c, t = tiles_np.shape
     if k_prior and k0_device_exact(cfg, nt * t):
-        # Whole chain on device: k0 -> prior -> encode, one host sync (the
-        # k0 values ride the bits fetch for the header nibbles). Upload in
-        # the narrow dtype (2-4x less wire on tunneled hosts).
+        # Whole chain on device: k0 -> prior -> encode -> compaction, ONE
+        # dispatch + ONE host sync on the fused fast path. Upload in the
+        # narrow dtype (2-4x less wire on tunneled hosts).
         tiles_dev = jnp.asarray(
             tiles_np.astype(narrow_tile_dtype(cfg.depth_bits, c))
         )
+        res = encode_container_onepass(
+            tiles_dev, np.zeros((nt,), np.int32), th, tw, cfg, nb, 1, engine
+        )
+        if res is not None:
+            tile_bytes_np, payload_b, k0s = res
+            return pack_tiled_container(
+                base.color_type, base.pixel_depth, w, h, tw, th, ty * tx,
+                tile_bytes_np, payload_b, k0s[0],
+            )
         k0_dev, prior_dev = compute_k0_prior_jax(
             tiles_dev, jnp.zeros((nt,), jnp.int32), th, tw, cfg, nb, 1
         )
@@ -1253,11 +1496,17 @@ def decompress_tiled_bytes(data: bytes, engine: str = "auto") -> np.ndarray:
     if len(payload) < expected:
         raise errors.IoError("truncated FLCT payload")
 
+    depth_max = 255 if header.pixel_depth == PixelDepth.EIGHT else 65535
+    res = decode_image_onepass(
+        payload, header.tile_lengths, th, tw, c, cfg, prior_np[None],
+        ty, tx, h, w, depth_max, engine,
+    )
+    if res is not None:
+        return res
     bufs = decode_tiles_bufs(
         payload, header.tile_lengths, th, tw, c, cfg, prior_np[None],
         None, engine,
     )
-    depth_max = 255 if header.pixel_depth == PixelDepth.EIGHT else 65535
     out, valid = _assemble_image(
         bufs, th, tw, c, ty, tx, h, w, depth_max
     )
