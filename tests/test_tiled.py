@@ -193,3 +193,56 @@ def test_long_unary_fallback():
     data = compress_tiled_bytes(img, TILE16)
     out = decompress_tiled_bytes(data)
     np.testing.assert_array_equal(out, img)
+
+
+def test_device_compaction_matches_host(rng):
+    """_compact_payload_jit / _expand_columns_jit (the on-device serving-path
+    payload movers) against the host reference implementations, including
+    junk words beyond each tile's used count (the encoder's ring spill may
+    leave residue there) and byte-irregular tile boundaries."""
+    import jax.numpy as jnp
+
+    from felics_tpu.parallel import tiling
+
+    L, W = 37, 19
+    words = rng.integers(0, 2**32, (L, W), dtype=np.uint32)
+    bits = rng.integers(64, W * 32 + 1, (L,), dtype=np.int64)
+    tb = (bits + 7) // 8
+    # Zero the tail bits of the last partial byte-word, like the encoder's
+    # zero-padded flush; words beyond the used count keep their junk.
+    for li in range(L):
+        nb = int(tb[li])
+        if nb % 4:
+            words[li, nb // 4] &= np.uint32(
+                (0xFFFFFFFF << (8 * (4 - nb % 4))) & 0xFFFFFFFF
+            )
+    ref = tiling._columns_to_payload(words, tb)
+    cap = tiling._bucket_bytes(int(tb.sum()))
+    pay, tbj, total = tiling._compact_payload_jit(
+        jnp.asarray(words), jnp.asarray(bits.astype(np.int32)), cap
+    )
+    pay, total = np.asarray(pay), int(total)
+    assert total == int(tb.sum())
+    assert pay[:total].tobytes() == ref
+    assert not pay[total:].any()
+
+    starts = np.concatenate([[0], np.cumsum(tb)[:-1]]).astype(np.int64)
+    wd = int((tb.max() + 3) // 4)
+    ref_cols = tiling._payload_to_columns(ref, starts, tb, wd)
+    pad = tiling._bucket_bytes(len(ref))
+    buf = np.frombuffer(ref.ljust(pad, b"\0"), dtype=np.uint8)
+    cols = tiling._expand_columns_jit(
+        jnp.asarray(buf), jnp.asarray(starts, jnp.int32),
+        jnp.asarray(tb.astype(np.int32)), wd,
+    )
+    np.testing.assert_array_equal(np.asarray(cols), ref_cols)
+
+
+def test_onepass_toy_tiles_fall_back(rng):
+    """Tiny tiles (<8-byte streams possible) must route around the fused
+    compactor and still produce correct containers."""
+    img = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    tc = TileConfig(tile_h=2, tile_w=2)
+    data = compress_tiled_bytes(img, tc, engine="pallas")
+    assert data == compress_tiled_bytes(img, tc, engine="xla")
+    np.testing.assert_array_equal(decompress_tiled_bytes(data), img)
