@@ -83,3 +83,29 @@ def test_batch_decode_corruption_raises_or_is_exact(rng):
     # the clean blobs keep decoding exactly on their own
     for im, d in ((images[0], blobs[0]), (images[2], blobs[2])):
         np.testing.assert_array_equal(tiling.decompress_tiled_bytes(d), im)
+
+
+def test_batch_pallas_onepass_matches_xla(rng):
+    """The fused single-dispatch chains (encode_container_onepass /
+    decode_container_onepass, incl. the per-tile prior tile_group path)
+    against the split XLA engine, multi-image, both depths."""
+    for dtype in (np.uint8, np.uint16):
+        images = [
+            smooth(rng, 32, 32, dtype),
+            smooth(rng, 48, 16, dtype),
+        ]
+        pal = compress_tiled_batch(images, TILE16, engine="pallas")
+        xla = compress_tiled_batch(images, TILE16, engine="xla")
+        assert pal == xla, f"{dtype}: fused pallas batch != xla batch"
+        outs = decompress_tiled_batch(pal, engine="pallas")
+        for im, out in zip(images, outs):
+            np.testing.assert_array_equal(out, im)
+
+
+def test_batch_pallas_rgb_round_trip(rng):
+    images = [smooth(rng, 32, 16, channels=3), smooth(rng, 16, 32, channels=3)]
+    pal = compress_tiled_batch(images, TILE16, engine="pallas")
+    assert pal == compress_tiled_batch(images, TILE16, engine="xla")
+    outs = decompress_tiled_batch(pal, engine="pallas")
+    for im, out in zip(images, outs):
+        np.testing.assert_array_equal(out, im)
