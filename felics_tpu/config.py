@@ -59,6 +59,17 @@ class CodingConfig:
             raise ValueError("k values must be in [0, 31]")
 
 
+# FLCT context-bucket cap: the tiled k-estimator is indexed by
+# min(bit_length(Δ), QCTX_CAP), merging all high-Δ contexts into one bucket.
+# Measured on the corpus (scripts + docs/FORMATS.md): merging is FREE on
+# ratio (-0.007% gray8, +0.03% gray16, 0% rgb8 at tile 32) because rare
+# high-Δ contexts all want the largest k anyway — while cutting the
+# per-(tile, channel) k-table to 6 rows x K, the dominant per-step cost of
+# both fused TPU kernels (40% fewer table elements for 8-bit, 67% for
+# 16-bit). Format-level constant: every engine (XLA, Pallas, native C++,
+# oracle) must use the same value.
+QCTX_CAP = 5
+
 CONFIG_8BIT = CodingConfig(
     pixel_depth=PixelDepth.EIGHT,
     k_values=tuple(range(6)),

@@ -30,7 +30,7 @@ from felics_tpu import errors
 from felics_tpu.coding.bitio import BitReader, BitWriter
 from felics_tpu.coding.phase_in import PhaseInCoder
 from felics_tpu.coding.rice import RiceCoder
-from felics_tpu.config import CodingConfig
+from felics_tpu.config import QCTX_CAP, CodingConfig
 from felics_tpu.core.context import nearest_neighbours
 from felics_tpu.core.kestimator import KEstimator
 
@@ -85,7 +85,7 @@ def compress_channel(
         v1, v2 = int(channel[a]), int(channel[b])
         h, l = max(v1, v2), min(v1, v2)
         context = h - l
-        kctx = context.bit_length() if bucketed_k else context
+        kctx = min(context.bit_length(), QCTX_CAP) if bucketed_k else context
         k = estimator.get_k(kctx)
 
         if l <= p <= h:
@@ -147,7 +147,7 @@ def decompress_channel(
             # Only reachable on corrupt streams: valid pixel values keep
             # H - L within MAX_CONTEXT (the reference panics here instead).
             raise errors.InvalidValue("context exceeds MAX_CONTEXT")
-        kctx = context.bit_length() if bucketed_k else context
+        kctx = min(context.bit_length(), QCTX_CAP) if bucketed_k else context
         k = estimator.get_k(kctx)
 
         first = bitreader.read_bit()

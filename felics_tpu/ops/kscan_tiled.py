@@ -4,8 +4,9 @@ FLCT makes two deliberate coding changes relative to FLCS, both chosen so
 the estimator maps perfectly onto a TPU:
 
   1. contexts are log-bucketed for the *k estimator only*
-     (``qctx = bit_length(Δ)``; phase-in coding still uses exact Δ) — 10
-     buckets for 8-bit, 18 for 16-bit, so per-tile tables are tiny;
+     (``qctx = min(bit_length(Δ), QCTX_CAP)``; phase-in coding still uses
+     exact Δ) — 6 buckets at the shipped cap (config.QCTX_CAP = 5) for
+     either depth, so per-tile tables are tiny;
   2. NO periodic count scaling: each (tile, channel) domain restarts its
      statistics, so forgetting buys nothing — and without halving the
      cumulative code-length table for every pixel is an EXCLUSIVE PREFIX SUM
@@ -29,12 +30,18 @@ from felics_tpu.config import CodingConfig
 
 
 def qctx_of(context):
-    """Log-bucket a context: bit_length(Δ) (0 → 0, 1 → 1, 2-3 → 2, ...)."""
-    return jnp.where(context > 0, 32 - jax.lax.clz(context.astype(jnp.int32)), 0)
+    """Log-bucket a context: min(bit_length(Δ), QCTX_CAP)
+    (0 → 0, 1 → 1, 2-3 → 2, ..., ≥2^(CAP-1) → CAP; see config.QCTX_CAP)."""
+    from felics_tpu.config import QCTX_CAP
+
+    bl = jnp.where(context > 0, 32 - jax.lax.clz(context.astype(jnp.int32)), 0)
+    return jnp.minimum(bl, QCTX_CAP)
 
 
 def num_buckets(cfg: CodingConfig) -> int:
-    return int(cfg.max_context).bit_length() + 1
+    from felics_tpu.config import QCTX_CAP
+
+    return min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
 
 
 @partial(jax.jit, static_argnames=("cfg", "nb"))

@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from felics_tpu.config import CodingConfig
+from felics_tpu.config import QCTX_CAP, CodingConfig
 from felics_tpu.core.context import neighbour_indices
 
 _I32_MAX = 0x7FFFFFFF  # plain int: jnp scalars would be captured kernel consts
@@ -114,7 +114,7 @@ def kernel_plan(
     the plan searches chunk sizes for the one maximizing B."""
     t = th * tw
     nr = 1 << (2 * tw + 2 - 1).bit_length()  # pow2 ring covering 2*tw+2 rows
-    nbk = (int(cfg.max_context).bit_length() + 1) * cfg.num_k
+    nbk = (min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1) * cfg.num_k
     nt_rows = -(-nbk // 8) * 8
     # The per-chunk call's VMEM (scoped limit ~16 MB): pixel chunk in (2x
     # pipelined), stream words in AND out (2x each), state arrays in AND out
@@ -127,12 +127,20 @@ def kernel_plan(
         per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
         b = _VMEM_BUDGET // max(per_lane, 1)
         b = min(2048, (b // 128) * 128)
-        if b >= 128 and (best is None or b > best[0]):
-            best = (b, sc)
+        if b < 128:
+            continue
+        # Score by the FINAL lane block (after padding/block-count
+        # minimization), preferring the larger chunk at equal B — a
+        # smaller chunk whose raw VMEM bound is higher can end up at the
+        # SAME final B while paying 2x the per-call ramp/state-IO (the
+        # device trace showed 8x0.49 ms chunk calls where 4 sufficed).
+        bf = _best_block(b, nt)
+        if best is None or (bf, sc) > (best[0], best[1]):
+            best = (bf, sc)
     if best is None:
         return None
-    bmax, sc = best
-    return sc, nr, _best_block(bmax, nt), (c * t) // sc
+    bf, sc = best
+    return sc, nr, bf, (c * t) // sc
 
 
 @functools.lru_cache(maxsize=64)
@@ -387,7 +395,7 @@ def _encode_kernel_body(
             h = jnp.maximum(va, vb)
             l = jnp.minimum(va, vb)
             ctx = h - l
-            qc = _bitlen(ctx)
+            qc = jnp.minimum(_bitlen(ctx), nb - 1)
 
             match = bucket_rows == qc[None, :]
             k = _k_select(table, match, k_rows, K, KB)
@@ -528,7 +536,7 @@ def _encode_tiles_pallas(
     tiles_ls = tiles_ls.astype(jnp.int32)  # callers upload the narrow dtype
     L, S = tiles_ls.shape
     t = th * tw
-    nb = int(cfg.max_context).bit_length() + 1
+    nb = min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
     K = cfg.num_k
     NT = -(-(nb * K) // 8) * 8
     SC, NR, B, n_chunks = kernel_plan(cfg, th, tw, c, W, nt=L)
@@ -617,7 +625,7 @@ def encode_tiles(
         tiles_ls = tiles.reshape(nt, c * t)
     else:
         tiles_ls = jnp.asarray(np.ascontiguousarray(tiles.reshape(nt, c * t)))
-    nb = int(cfg.max_context).bit_length() + 1
+    nb = min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
     if prior is None:
         prior = np.zeros((c, nb, cfg.num_k), np.int32)
     return _encode_tiles_pallas(
@@ -685,7 +693,7 @@ def encode_width_bound(cfg: CodingConfig, t: int, c: int) -> int:
 
 def _prior_rows(c: int, cfg: CodingConfig) -> int:
     """Sublane-padded per-channel row count of the k-prior VMEM block."""
-    nbk = (int(cfg.max_context).bit_length() + 1) * cfg.num_k
+    nbk = (min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1) * cfg.num_k
     return -(-nbk // 8) * 8
 
 
@@ -834,7 +842,7 @@ def _decode_kernel_body(
             h = jnp.maximum(va, vb)
             l = jnp.minimum(va, vb)
             ctx = jnp.clip(h - l, 0, max_context)
-            qc = _bitlen(ctx)
+            qc = jnp.minimum(_bitlen(ctx), nb - 1)
 
             match = bucket_rows == qc[None, :]
             k = _k_select(table, match, k_rows, K, KB)
@@ -1041,7 +1049,7 @@ def _decode_tiles_pallas(
     L, W = cols_lw.shape
     t = th * tw
     S = c * t
-    nb = int(cfg.max_context).bit_length() + 1
+    nb = min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
     K = cfg.num_k
     NT = -(-(nb * K) // 8) * 8
     B = _lane_block_full(S, W, c, cfg, nt=L)
@@ -1098,7 +1106,7 @@ def decode_tiles(
     (L, C, nb, K) per-tile); None = zeros (v0 streams)."""
     t = th * tw
     meta = _meta_arrays(th, tw, c, cfg.depth_bits)
-    nb = int(cfg.max_context).bit_length() + 1
+    nb = min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
     if prior is None:
         prior = np.zeros((c, nb, cfg.num_k), np.int32)
     out = _decode_tiles_pallas(

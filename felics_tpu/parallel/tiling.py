@@ -13,7 +13,8 @@ Layout (all integers big-endian):
     20:24  n_tiles u32
     24:..  [flags bit 1] k-prior block: one 4-bit k0 per (channel, bucket),
            channel-major, high nibble first, zero-padded to a whole byte
-           (ceil(C*nb/2) bytes; nb = bit_length(MAX_CONTEXT) + 1)
+           (ceil(C*nb/2) bytes;
+           nb = min(bit_length(MAX_CONTEXT), QCTX_CAP) + 1 = 6)
     ..     per-tile payload byte length × n_tiles
            (u16 when flags bit 0 is set — the encoder sets it whenever every
            tile's payload fits — else u32)
@@ -24,9 +25,11 @@ row-major over the padded canvas. Each tile's stream is FELICS coding of its
 channel planes (Y/Co/Cg for RGB) coded back-to-back exactly like a miniature
 FLCS payload — per-tile raw first-two-pixels preamble, fresh k statistics —
 with THREE deviations: (1) the k-estimator is indexed by the log-bucketed
-context ``qctx = bit_length(Δ)`` (felics_tpu.ops.kscan_tiled) instead of
-exact Δ — buckets keep per-tile tables tiny (10/18 rows), which is what lets
-thousands of tiles decode concurrently on-chip; (2) the raw preamble pixels
+context ``qctx = min(bit_length(Δ), QCTX_CAP)`` (felics_tpu.ops.kscan_tiled,
+config.QCTX_CAP = 5) instead of exact Δ — 6 buckets keep per-tile tables
+tiny (6 x K rows; merging the rare high-Δ contexts measured FREE on ratio),
+which is what lets thousands of tiles decode concurrently on-chip; (2) the
+raw preamble pixels
 are depth-sized rather than 32-bit (plane 0: ``depth`` unsigned bits; the
 signed Co/Cg planes: ``depth+1``-bit two's complement) — per-tile restart
 overhead matters at tile granularity where 32-bit preambles cost ~1% of the
@@ -127,7 +130,7 @@ def read_tiled_header(data: bytes) -> TiledHeader:
     if flags & FLAG_K_PRIOR:
         c = 1 if color_type == ColorType.GRAY else 3
         cfg = tiled_config_for_depth(pixel_depth)
-        nb = int(cfg.max_context).bit_length() + 1
+        nb = num_buckets(cfg)
         nbytes = (c * nb + 1) // 2
         if len(data) < pos + nbytes:
             raise errors.IoError("truncated FLCT k-prior block")
@@ -162,15 +165,18 @@ def read_tiled_header(data: bytes) -> TiledHeader:
 
 @functools_lru_cache(maxsize=4)
 def _qctx_lut(max_context: int) -> np.ndarray:
-    """bit_length lookup for 0..max_context (floats via log2 measured ~10x
-    slower on the host path; this is the container encoder's hot host op)."""
+    """min(bit_length, QCTX_CAP) lookup for 0..max_context (floats via log2
+    measured ~10x slower on the host path; this is the container encoder's
+    hot host op)."""
+    from felics_tpu.config import QCTX_CAP
+
     v = np.arange(max_context + 1, dtype=np.uint32)
     lut = np.zeros(max_context + 1, np.int64)
     bit = 0
     while (1 << bit) <= max_context:
         lut[v >= (1 << bit)] = bit + 1
         bit += 1
-    return lut
+    return np.minimum(lut, QCTX_CAP)
 
 
 def compute_k0_batch(

@@ -294,11 +294,20 @@ inline void neighbours(size_t i, size_t w, size_t* a, size_t* b) {
 // ---------------------------------------------------------------------------
 // Channel codec
 // ---------------------------------------------------------------------------
-// FLCT's k-estimator bucketing: bit_length(context) (see
-// felics_tpu/ops/kscan_tiled.py). FLCS uses the exact context.
+// FLCT's k-estimator bucketing: min(bit_length(context), kQctxCap) (see
+// felics_tpu/ops/kscan_tiled.py and config.QCTX_CAP — a format-level
+// constant; merging the rare high-ctx buckets measured free on ratio).
+// FLCS uses the exact context.
+constexpr uint32_t kQctxCap = 5;
 inline uint32_t k_context(uint32_t context, bool bucketed) {
   if (!bucketed) return context;
-  return context == 0 ? 0 : 32 - __builtin_clz(context);
+  const uint32_t bl = context == 0 ? 0 : 32 - __builtin_clz(context);
+  return bl < kQctxCap ? bl : kQctxCap;
+}
+inline int num_buckets(uint32_t max_context) {
+  const int bl = 32 - __builtin_clz(max_context);
+  return (bl < static_cast<int>(kQctxCap) ? bl
+                                          : static_cast<int>(kQctxCap)) + 1;
 }
 
 void compress_channel(const int32_t* chan, uint32_t width, uint32_t height,
@@ -684,7 +693,7 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
   // spec in felics_tpu/parallel/tiling.py).
   CodingParams tiled_params = params;
   tiled_params.halve_at = 0;
-  const int nb = 32 - __builtin_clz(params.max_context) + 1;
+  const int nb = num_buckets(params.max_context);
   const int K = params.num_k;
   const size_t tsz = static_cast<size_t>(th) * tw;
 
@@ -710,7 +719,7 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
         const int32_t l = v1 < v2 ? v1 : v2;
         if (p >= l && p <= h) continue;
         const uint32_t ctx = static_cast<uint32_t>(h - l);
-        const uint32_t bucket = ctx == 0 ? 0 : 32 - __builtin_clz(ctx);
+        const uint32_t bucket = k_context(ctx, true);
         const uint32_t res =
             p < l ? static_cast<uint32_t>(l - p - 1)
                   : static_cast<uint32_t>(p - h - 1);
@@ -823,7 +832,7 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
   if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
   const int nchan = color == kColorGray ? 1 : 3;
   const CodingParams params = params_for_depth(depth);
-  const int nb = 32 - __builtin_clz(params.max_context) + 1;
+  const int nb = num_buckets(params.max_context);
   const int K = params.num_k;
 
   // Optional k-prior block, then the tile length table (u16 or u32).

@@ -37,7 +37,7 @@ def main():
         0, 255,
     ).astype(np.int32)
     W = 320
-    prior = np.zeros((1, 10, 6), np.int32)
+    prior = np.zeros((1, 6, 6), np.int32)  # (c, nb, K) at QCTX_CAP=5
 
     # warm/compile both kernels
     words, bits = pc.encode_tiles(tiles, cfg, 32, 32, W, prior)

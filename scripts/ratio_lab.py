@@ -174,7 +174,8 @@ def main():
             break
 
     cfg = tiled_config_for_depth(PixelDepth.EIGHT)
-    nb = int(cfg.max_context).bit_length() + 1
+    from felics_tpu.ops.kscan_tiled import num_buckets as _nbf
+    nb = _nbf(cfg)
 
     specs = {
         "none": None,

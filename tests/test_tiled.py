@@ -65,12 +65,13 @@ def test_header_fields(rng):
     assert (hdr.tile_w, hdr.tile_h) == (16, 16)
     assert hdr.n_tiles == 2 * 3  # ceil(24/16) x ceil(40/16)
     assert hdr.tile_lengths.sum() + hdr.payload_off == len(data)
-    # v2: u16 length table + k-prior block (1 channel x 10 buckets -> 5 B)
+    # v2: u16 length table + k-prior block (1 channel x 6 capped buckets
+    # -> 3 B; nb = min(bit_length(max_context), QCTX_CAP) + 1)
     from felics_tpu.parallel.tiling import FLAG_K_PRIOR, FLAG_TABLE_U16
 
     assert hdr.flags == FLAG_TABLE_U16 | FLAG_K_PRIOR
-    assert hdr.k0.shape == (1, 10)
-    assert hdr.payload_off == _FIXED_HEADER.size + 5 + 2 * hdr.n_tiles
+    assert hdr.k0.shape == (1, 6)
+    assert hdr.payload_off == _FIXED_HEADER.size + 3 + 2 * hdr.n_tiles
 
 
 def test_legacy_v0_streams_decode(rng):
