@@ -305,6 +305,8 @@ def decode_channel_scan(
     # Dense table: fine for 8-bit (511 rows); for 16-bit we rely on XLA/HBM.
     table_rows = max_context + 1
 
+    bit_limit = jnp.int32(words.shape[0] * 32)
+
     def read_unary(pos):
         # Count leading ones from bit position pos, consuming the terminator.
         def cond(state):
@@ -319,9 +321,15 @@ def decode_channel_scan(
             lead = jnp.where(inverted == 0, 32, jax.lax.clz(inverted)).astype(
                 jnp.int32
             )
-            finished = lead < 32
+            # p >= bit_limit: a corrupt stream whose tail is all-ones ran off
+            # the end (the _read_bits gather clamps to the last word, so the
+            # loop would otherwise never see a zero). Stop; the garbage value
+            # is rejected by the end-position/range checks after the scan.
+            # (Reference returns DecompressionError on this path:
+            # src/compression.rs:205-244.)
+            finished = (lead < 32) | (p >= bit_limit)
             q = q + lead
-            p = p + lead + jnp.where(finished, 1, 0)
+            p = p + lead + jnp.where(finished & (lead < 32), 1, 0)
             return q, p, finished
 
         q0 = jnp.int32(0)
@@ -411,11 +419,17 @@ def decompress_image_bytes(data: bytes, header: Header) -> np.ndarray:
         return api.decompress_image_bytes(data, backend="oracle")
 
     words, _ = _bits_to_words(data[14:], 0)
+    payload_bits = (len(data) - 14) * 8
     channels: List[np.ndarray] = []
     pos = 0
     for _ in range(header.num_channels):
         buf, pos = decode_channel_scan(words, pos, h, w, cfg)
         channels.append(np.asarray(buf, dtype=np.int64))
+    # A corrupt/truncated stream drives the cursor past the payload (the
+    # word gather clamps, so decoding "continues" on garbage); reject it
+    # like the reference's error-returning reads (src/compression.rs:205-244).
+    if int(pos) > payload_bits:
+        raise errors.IoError("FLCS payload ended prematurely")
 
     if header.color_type == ColorType.GRAY:
         chan = channels[0]

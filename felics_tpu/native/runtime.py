@@ -122,6 +122,19 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint32),
             ctypes.POINTER(ctypes.c_int),
         ]
+    if hasattr(lib, "fel_qctx_cap"):  # older prebuilt .so may lack it
+        lib.fel_qctx_cap.restype = ctypes.c_uint32
+        lib.fel_qctx_cap.argtypes = []
+        from felics_tpu.config import QCTX_CAP
+
+        native_cap = int(lib.fel_qctx_cap())
+        if native_cap != QCTX_CAP:
+            raise RuntimeError(
+                f"native felics_core QCTX_CAP={native_cap} disagrees with "
+                f"felics_tpu.config.QCTX_CAP={QCTX_CAP}; the FLCT bitstreams "
+                "would be incompatible — rebuild native/ (python "
+                "native/build.py)"
+            )
     _lib = lib
     return _lib
 

@@ -125,6 +125,19 @@ def read_tiled_header(data: bytes) -> TiledHeader:
         raise errors.InvalidValue(f"unsupported FLCT flags {flags:#06x}")
     color_type = ColorType.from_byte(color)
     pixel_depth = PixelDepth.from_byte(depth)
+    # Every header field is validated before use, like the reference's
+    # format reader (src/compression/format.rs:63-84): the encoder never
+    # emits tile dims < 2 (see _clamped_tile_dims), and the tile grid
+    # implied by (dims, tile dims) must match n_tiles — a zeroed/corrupt
+    # field would otherwise divide by zero or mis-slice the payload.
+    if tw < 2 or th < 2:
+        raise errors.InvalidDimensions(f"invalid tile dims {tw}x{th}")
+    expect_tiles = 0 if (w == 0 or h == 0) else (-(-h // th)) * (-(-w // tw))
+    if n_tiles != expect_tiles:
+        raise errors.InvalidDimensions(
+            f"tile grid mismatch: header says {n_tiles} tiles, dims imply "
+            f"{expect_tiles}"
+        )
     pos = _FIXED_HEADER.size
     k0 = None
     if flags & FLAG_K_PRIOR:
@@ -690,7 +703,8 @@ def encode_container_onepass(
     if nt == 0 or _resolve_engine(engine) != "pallas":
         return None
     enc_key = (th, tw, c, cfg.pixel_depth)
-    if not _pallas_usable("encode", enc_key):
+    if not (_pallas_usable("encode", enc_key)
+            and _pallas_usable("onepass-encode", enc_key)):
         return None
     wcap = pc.encode_width_bound(cfg, t, c)
     if nt * wcap * 4 >= (1 << 31):
@@ -711,10 +725,15 @@ def encode_container_onepass(
                 bits_np, k0_np, pay_np, total_i = jax.device_get(
                     (bits, k0, pay, total)
                 )
-            except Exception as e:  # Mosaic compile/run failure
+            except Exception as e:
                 if engine == "pallas":
                     raise
-                _disable_pallas("encode", enc_key, e)
+                # The fused chain also contains plain-XLA stages (k0/prior,
+                # compaction) — a failure here must not condemn the Pallas
+                # kernels themselves. Disable only the fused chain; the
+                # caller's split path retries Pallas standalone and disables
+                # the (op, key) there if the kernel truly fails.
+                _disable_pallas("onepass-encode", enc_key, e)
                 return None
             bits_np = np.asarray(bits_np).astype(np.int64)
             if int(bits_np.max()) > wtry * 32:
@@ -774,6 +793,7 @@ def decode_container_onepass(
     wd = pc.bucket_words(int(-(-lens.max(initial=1) // 4)))
     dec_key = (th, tw, c, cfg.pixel_depth, wd)
     if not (_pallas_usable("decode", dec_key)
+            and _pallas_usable("onepass-decode", dec_key)
             and pc.decode_fits(c * th * tw, wd, c, cfg)):
         return None
     starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
@@ -793,10 +813,12 @@ def decode_container_onepass(
             th, tw, c, cfg, wd, nd.name, not pc.on_tpu(),
         )
         small_np, bad_np = jax.device_get((small, bad))
-    except Exception as e:  # Mosaic compile/run failure
+    except Exception as e:
         if engine == "pallas":
             raise
-        _disable_pallas("decode", dec_key, e)
+        # Disable only the fused chain (it contains XLA stages too); the
+        # split path retries the Pallas kernel standalone.
+        _disable_pallas("onepass-decode", dec_key, e)
         return None
     return np.asarray(small_np).astype(np.int32), np.asarray(bad_np)
 
@@ -845,6 +867,7 @@ def decode_image_onepass(
     wd = pc.bucket_words(int(-(-lens.max(initial=1) // 4)))
     dec_key = (th, tw, c, cfg.pixel_depth, wd)
     if not (_pallas_usable("decode", dec_key)
+            and _pallas_usable("onepass-decode", dec_key)
             and pc.decode_fits(c * th * tw, wd, c, cfg)):
         return None
     starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
@@ -859,10 +882,12 @@ def decode_image_onepass(
             th, tw, c, cfg, wd, ty, tx, h, w, depth_max, not pc.on_tpu(),
         )
         out_np, valid_np = jax.device_get((out, valid))
-    except Exception as e:  # Mosaic compile/run failure
+    except Exception as e:
         if engine == "pallas":
             raise
-        _disable_pallas("decode", dec_key, e)
+        # Fused-chain failure: fall back to the split path without
+        # condemning the Pallas decode kernel itself (see onepass-encode).
+        _disable_pallas("onepass-decode", dec_key, e)
         return None
     if not bool(valid_np):
         raise errors.InvalidValue("decoded value does not fit the pixel depth")

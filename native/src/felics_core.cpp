@@ -488,6 +488,11 @@ extern "C" {
 
 const char* fel_version() { return "felics_core 0.1.0"; }
 
+// FLCT context-bucket cap. Must equal felics_tpu.config.QCTX_CAP — the
+// Python runtime asserts this at library load so the two constants cannot
+// silently drift (they define the FLCT bitstream).
+uint32_t fel_qctx_cap() { return kQctxCap; }
+
 void fel_free(void* ptr) { free(ptr); }
 
 // pixels: interleaved raster order; gray = 1 value/pixel, rgb = 3.
@@ -830,6 +835,17 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
 
   const uint64_t total64 = static_cast<uint64_t>(w) * h;
   if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  // Validate tile geometry BEFORE any division (a zeroed tile_h would trap
+  // with SIGFPE) and require the header's n_tiles to match the grid the
+  // dims imply — the Python read_tiled_header enforces the same.
+  if (th < 2 || tw < 2) return FEL_EDIMENSIONS;
+  {
+    const uint64_t expect =
+        total64 == 0 ? 0
+                     : (static_cast<uint64_t>(h) + th - 1) / th *
+                           ((static_cast<uint64_t>(w) + tw - 1) / tw);
+    if (n_tiles != expect) return FEL_EDIMENSIONS;
+  }
   const int nchan = color == kColorGray ? 1 : 3;
   const CodingParams params = params_for_depth(depth);
   const int nb = num_buckets(params.max_context);
@@ -873,10 +889,6 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
 
   const uint32_t ty_n = (h + th - 1) / th;
   const uint32_t tx_n = (w + tw - 1) / tw;
-  if (ty_n * tx_n != n_tiles || th < 2 || tw < 2) {
-    free(result);
-    return FEL_EDIMENSIONS;
-  }
 
   // Per-tile payload offsets.
   std::vector<size_t> starts(n_tiles + 1, 0);

@@ -39,6 +39,16 @@ def main() -> int:
         np.cumsum(np.cumsum(rng.integers(-6, 7, (64, 48)), 0), 1) + 128, 0, 255
     ).astype(np.uint8)
     data = multihost.encode_tiled_multihost(img, TileConfig(16, 16))
+    # Engine parity under the multi-process mesh: the fused Pallas kernels
+    # (interpret mode on CPU) must produce the same container bytes.
+    data_pallas = multihost.encode_tiled_multihost(
+        img, TileConfig(16, 16), engine="pallas"
+    )
+    assert data_pallas == data, "multihost pallas/xla bytes diverge"
+    # Multihost decode (VERDICT r3 item 6), both engines, round-trip exact.
+    for eng in ("xla", "pallas"):
+        out = multihost.decode_tiled_multihost(data, engine=eng)
+        assert np.array_equal(out, img), f"multihost {eng} decode mismatch"
     with open(out_path, "wb") as f:
         f.write(data)
     return 0

@@ -1,0 +1,113 @@
+"""Corrupt-input robustness regressions (VERDICT r3 confirmed bugs).
+
+The reference decoder returns errors on malformed streams via checked
+arithmetic and validated headers (src/compression.rs:205-244,
+src/compression/format.rs:63-84). These tests pin the two holes the r3
+judge reproduced: (1) the jax FLCS scan decoder hanging on an all-ones
+tail, (2) a zeroed FLCT tile_h crashing with ZeroDivisionError instead of
+raising DecompressionError.
+"""
+
+import signal
+
+import numpy as np
+import pytest
+
+from felics_tpu import errors
+from felics_tpu.api import compress_image_bytes, decompress_image_bytes
+from felics_tpu.config import TileConfig
+
+
+class _Alarm:
+    """Hard wall-clock guard: these are anti-hang regressions, so a hang
+    must fail the test rather than the whole suite."""
+
+    def __init__(self, seconds: int):
+        self.seconds = seconds
+
+    def __enter__(self):
+        def handler(signum, frame):
+            raise TimeoutError("decoder hung on corrupt input")
+
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+
+
+def _smooth(rng, w, h, dtype=np.uint8):
+    img = np.cumsum(np.cumsum(rng.integers(-6, 7, (h, w)), 0), 1) + 128
+    return np.clip(img, 0, np.iinfo(dtype).max).astype(dtype)
+
+
+def test_jax_flcs_all_ones_tail_raises_not_hangs(rng):
+    # VERDICT r3 probe: a truncated stream whose tail is 0xFF bytes made
+    # read_unary count leading ones forever (the word gather clamps to the
+    # last all-ones word). Must raise DecompressionError within seconds.
+    img = _smooth(rng, 64, 64)
+    data = compress_image_bytes(img, backend="oracle")
+    corrupt = data[: max(14, len(data) // 2)] + b"\xff" * 4
+    with _Alarm(120):
+        with pytest.raises(errors.DecompressionError):
+            decompress_image_bytes(corrupt, backend="jax")
+
+
+def test_jax_flcs_truncated_payload_raises(rng):
+    img = _smooth(rng, 48, 32)
+    data = compress_image_bytes(img, backend="oracle")
+    with _Alarm(120):
+        with pytest.raises(errors.DecompressionError):
+            decompress_image_bytes(data[: 14 + 8], backend="jax")
+
+
+def _flct_blob(rng):
+    img = _smooth(rng, 48, 40)
+    return compress_image_bytes(
+        img, container="flct", tile=TileConfig(16, 16)
+    )
+
+
+def _patch(data: bytes, off: int, value: bytes) -> bytes:
+    return data[:off] + value + data[off + len(value) :]
+
+
+def test_flct_zeroed_tile_h_raises(rng):
+    # VERDICT r3 probe: tile_h=0 divided by zero in decompress_tiled_bytes.
+    data = _flct_blob(rng)
+    corrupt = _patch(data, 16, b"\x00\x00")  # tile_h u16 at offset 16
+    with pytest.raises(errors.DecompressionError):
+        decompress_image_bytes(corrupt)
+
+
+def test_flct_zeroed_tile_w_raises(rng):
+    data = _flct_blob(rng)
+    corrupt = _patch(data, 14, b"\x00\x00")  # tile_w u16 at offset 14
+    with pytest.raises(errors.DecompressionError):
+        decompress_image_bytes(corrupt)
+
+
+def test_flct_tile_dims_one_rejected(rng):
+    # The encoder never emits tile dims < 2 (FORMATS.md); a forged 1 must
+    # be rejected, not mis-decoded.
+    data = _flct_blob(rng)
+    corrupt = _patch(data, 16, b"\x00\x01")
+    with pytest.raises(errors.DecompressionError):
+        decompress_image_bytes(corrupt)
+
+
+def test_flct_grid_mismatch_raises(rng):
+    data = _flct_blob(rng)
+    corrupt = _patch(data, 20, b"\x00\x00\x00\x07")  # n_tiles: 6 -> 7
+    with pytest.raises(errors.DecompressionError):
+        decompress_image_bytes(corrupt)
+
+
+def test_flct_batch_header_corruption_raises(rng):
+    from felics_tpu.parallel.batch import decompress_tiled_batch
+
+    data = _flct_blob(rng)
+    corrupt = _patch(data, 16, b"\x00\x00")
+    with pytest.raises(errors.DecompressionError):
+        decompress_tiled_batch([data, corrupt])
