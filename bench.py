@@ -5,14 +5,19 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "Mpx/s", "vs_baseline": N}
 
 value       = combined encode+decode throughput (2 * pixels / (t_enc+t_dec))
-              of the tiled TPU pipeline on a batch of real corpus images,
-              warm steady-state, work timed to device completion.
+              of the tiled TPU pipeline on a batch of real corpus gray8
+              images, warm steady-state, work timed to device completion.
 vs_baseline = value / (same combined metric for the native C++ single-core
               FLCS codec on the same pixels) — the stand-in for the Rust
               reference's single-threaded speed (no Rust toolchain in this
               image; the C++ core is a faithful same-algorithm reimpl).
 
-Also self-checks correctness each run: the tiled round-trip must be exact and
+The metric string also carries: container-level and PIPELINED-stream
+throughput (images in -> bytes -> images back, transfers included), plus
+kernel- and container-level rows for rgb8 and gray16 512x512 batches
+(VERDICT r4: all three corpus classes benched on chip).
+
+Also self-checks correctness each run: every round-trip must be exact and
 the FLCS jax encoder byte-identical to the native encoder on a corpus image.
 """
 
@@ -25,35 +30,48 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
-SUITE = "/root/reference/image-suite/grayscale/8bit"
+SUITE = "/root/reference/image-suite"
 TILE = 32  # 32px tiles quadruple the lane count vs 64px and measure ~2x
 # faster on chip; ratio cost vs single-stream FLCS is measured per run and
 # reported in the metric string (docs/DESIGN.md §4 has the corpus numbers)
 MAX_IMAGES = 12
 
 
-def load_batch():
+def _synth(shape, dtype, n, step):
+    rng = np.random.default_rng(0)
+    hi = np.iinfo(dtype).max
+    return [
+        np.clip(
+            np.cumsum(np.cumsum(rng.integers(-step, step + 1, shape), 0), 1)
+            + hi // 2,
+            0, hi,
+        ).astype(dtype)
+        for _ in range(n)
+    ]
+
+
+def load_suite(sub, shape, dtype, limit):
     from felics_tpu.io.images import load_image
 
     images = []
-    for name in sorted(os.listdir(SUITE)):
-        if not name.endswith(".tiff"):
-            continue
-        img = load_image(os.path.join(SUITE, name))
-        if img.shape == (512, 512) and img.dtype == np.uint8:
-            images.append(img)
-        if len(images) >= MAX_IMAGES:
-            break
+    root = os.path.join(SUITE, sub)
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            if not name.endswith(".tiff"):
+                continue
+            img = load_image(os.path.join(root, name))
+            if img.shape == shape and img.dtype == dtype:
+                images.append(img)
+            if len(images) >= limit:
+                break
     if not images:  # corpus not mounted: synthetic fallback
-        rng = np.random.default_rng(0)
-        images = [
-            np.clip(
-                np.cumsum(np.cumsum(rng.integers(-6, 7, (512, 512)), 0), 1) + 128,
-                0, 255,
-            ).astype(np.uint8)
-            for _ in range(8)
-        ]
+        step = 6 if np.dtype(dtype).itemsize == 1 else 800
+        images = _synth(shape, dtype, max(4, limit // 2), step)
     return images
+
+
+def load_batch():
+    return load_suite("grayscale/8bit", (512, 512), np.uint8, MAX_IMAGES)
 
 
 def native_baseline(images):
@@ -86,38 +104,30 @@ def native_baseline(images):
     return 2 * pixels / (best_enc + best_dec) / 1e6, blobs
 
 
-def tpu_bench(images):
+def tpu_bench(images, color, pd):
+    """Kernel-level slope-timed encode+decode for one (color, depth) class.
+    Returns (mpxs, t_enc, t_dec, ratio, n_tiles, pixels)."""
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(REPO, ".jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     from felics_tpu.config import TileConfig, tiled_config_for_depth
-    from felics_tpu.format import ColorType
-    from felics_tpu.ops import bitpack
     from felics_tpu.ops.kscan_tiled import num_buckets
     from felics_tpu.parallel import tiling
+    from felics_tpu.ops import pallas_codec as pc
+    from felics_tpu.utils.timing import _sync
 
-    from felics_tpu.format import PixelDepth as _PD
-
-    cfg = tiled_config_for_depth(_PD.EIGHT)
+    cfg = tiled_config_for_depth(pd)
     nb = num_buckets(cfg)
     th = tw = TILE
-    from felics_tpu.ops import pallas_codec as pc
+    mod = (1 << cfg.depth_bits) - 1  # variant arithmetic stays in range
 
     # One big tile batch across all images (amortizes dispatch + syncs).
     tile_batches = [
-        tiling._prepare_tiles(im, ColorType.GRAY, th, tw)[0] for im in images
+        tiling._prepare_tiles(im, color, th, tw)[0] for im in images
     ]
     tiles_np = np.concatenate(tile_batches)
     n_tiles, c, t = tiles_np.shape
-    pixels = tiles_np.size
+    pixels = sum(im.size // (3 if im.ndim == 3 else 1) for im in images)
 
     # Batch-global k-prior seed — the production v2 container seeds every
     # tile's k-table from a per-image prior; the kernel bench uses one
@@ -125,8 +135,6 @@ def tpu_bench(images):
     # and roll-invariant so decode inputs can be permuted per rep).
     k0 = tiling.compute_k0(tiles_np, th, tw, cfg, nb)
     prior_j = jnp.asarray(tiling.prior_from_k0(k0, cfg, c))  # (C, nb, K)
-
-    from felics_tpu.utils.timing import _sync
 
     # Container-level warm pass: full bytes round-trip through the fused
     # Pallas engine (also records the self-tuned stream-width hint).
@@ -138,11 +146,6 @@ def tpu_bench(images):
     W = pc.width_hint(cfg, t, c)
 
     meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
-
-    def encode_once(tiles_ls):
-        return pc._encode_tiles_pallas(
-            tiles_ls, *meta, prior_j, th, tw, c, W, cfg, False
-        )
 
     # Timing methodology: the tunnel RTT (~25 ms, jitter +-2 ms) dwarfs
     # single-kernel device time (~4 ms), and dispatches cannot pipeline
@@ -161,7 +164,7 @@ def tpu_bench(images):
 
     def variant(seed):
         v = tiles_np.copy()
-        v[0, 0, 2] = (v[0, 0, 2] + seed) % 255
+        v[0, 0, 2] = (v[0, 0, 2] + seed) % mod
         return v.reshape(n_tiles, c * t)
 
     def make_rep_encode(rep):
@@ -169,7 +172,7 @@ def tpu_bench(images):
         def rep_encode(base, seeds):  # (n_tiles, c*t), (rep,)
             outs = []
             for r in range(rep):
-                tiles_r = base.at[0, 2].set((base[0, 2] + seeds[r]) % 255)
+                tiles_r = base.at[0, 2].set((base[0, 2] + seeds[r]) % mod)
                 outs.append(
                     pc._encode_tiles_pallas(
                         tiles_r, *meta, prior_j, th, tw, c, W, cfg, False
@@ -272,9 +275,24 @@ def tpu_bench(images):
     )
     assert np.array_equal(decoded, expect), "tiled round-trip mismatch"
 
-    ratio = pixels / total
+    ratio = pixels * np.dtype(images[0].dtype).itemsize * (
+        3 if images[0].ndim == 3 else 1
+    ) / total
     mpxs = 2 * pixels / (t_enc + t_dec) / 1e6
     return mpxs, t_enc, t_dec, ratio, n_tiles, pixels
+
+
+def _variants(images, it):
+    vs = []
+    hi = np.iinfo(images[0].dtype).max
+    for im in images:
+        v = im.copy()
+        if v.ndim == 3:
+            v[0, 2, 0] = (int(v[0, 2, 0]) + it) % hi
+        else:
+            v[0, 2] = (int(v[0, 2]) + it) % hi
+        vs.append(v)
+    return vs
 
 
 def container_bench(images, engine="pallas"):
@@ -292,7 +310,7 @@ def container_bench(images, engine="pallas"):
     )
 
     tc = TileConfig(tile_h=TILE, tile_w=TILE)
-    pixels = sum(im.size for im in images)
+    pixels = sum(im.size // (3 if im.ndim == 3 else 1) for im in images)
     best_enc = best_dec = float("inf")
     # warm passes (compile both kernels at the batch shapes AND settle the
     # self-tuned payload/width hints so the timed passes reuse one program)
@@ -300,11 +318,7 @@ def container_bench(images, engine="pallas"):
         decompress_tiled_batch(compress_tiled_batch(images, tc, engine), engine)
     for it in range(1, 6):
         # distinct inputs per iteration (tunnel executable cache, r1 advice)
-        vs = []
-        for im in images:
-            v = im.copy()
-            v[0, 2] = (int(v[0, 2]) + it) % 255
-            vs.append(v)
+        vs = _variants(images, it)
         t0 = time.perf_counter()
         blobs = compress_tiled_batch(vs, tc, engine)
         t1 = time.perf_counter()
@@ -312,6 +326,42 @@ def container_bench(images, engine="pallas"):
         t2 = time.perf_counter()
         for v, o in zip(vs, outs):
             assert np.array_equal(v, o), "container round-trip mismatch"
+        best_enc = min(best_enc, t1 - t0)
+        best_dec = min(best_dec, t2 - t1)
+    return 2 * pixels / (best_enc + best_dec) / 1e6, best_enc, best_dec
+
+
+def stream_bench(images, engine="pallas", chunk=3, depth=2):
+    """Pipelined serving throughput: the same images as container_bench but
+    split into chunks streamed through compress/decompress_tiled_stream,
+    which dispatch chunk i+1 (upload + device chain + async result copy)
+    BEFORE fetching chunk i — wire overlaps compute wherever the platform
+    allows (VERDICT r3 item 3)."""
+    from felics_tpu.config import TileConfig
+    from felics_tpu.parallel.batch import (
+        compress_tiled_stream,
+        decompress_tiled_stream,
+    )
+
+    tc = TileConfig(tile_h=TILE, tile_w=TILE)
+    pixels = sum(im.size // (3 if im.ndim == 3 else 1) for im in images)
+    chunks0 = [images[i : i + chunk] for i in range(0, len(images), chunk)]
+    best_enc = best_dec = float("inf")
+    for _ in range(2):  # warm (chunk-shaped programs + hints)
+        decompress_tiled_stream(
+            compress_tiled_stream(chunks0, tc, engine, depth), engine, depth
+        )
+    for it in range(1, 6):
+        vs = _variants(images, it)
+        chunks = [vs[i : i + chunk] for i in range(0, len(vs), chunk)]
+        t0 = time.perf_counter()
+        blob_chunks = compress_tiled_stream(chunks, tc, engine, depth)
+        t1 = time.perf_counter()
+        out_chunks = decompress_tiled_stream(blob_chunks, engine, depth)
+        t2 = time.perf_counter()
+        for vchunk, ochunk in zip(chunks, out_chunks):
+            for v, o in zip(vchunk, ochunk):
+                assert np.array_equal(v, o), "stream round-trip mismatch"
         best_enc = min(best_enc, t1 - t0)
         best_dec = min(best_dec, t2 - t1)
     return 2 * pixels / (best_enc + best_dec) / 1e6, best_enc, best_dec
@@ -326,10 +376,38 @@ def flcs_interop_check(images):
 
 
 def main():
+    import jax
+
+    cache = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from felics_tpu.format import ColorType, PixelDepth
+
     images = load_batch()
     base_mpxs, _ = native_baseline(images)
-    mpxs, t_enc, t_dec, ratio, n_tiles, pixels = tpu_bench(images)
+    mpxs, t_enc, t_dec, ratio, n_tiles, pixels = tpu_bench(
+        images, ColorType.GRAY, PixelDepth.EIGHT
+    )
     cont_mpxs, c_enc, c_dec = container_bench(images)
+    strm_mpxs, s_enc, s_dec = stream_bench(images)
+
+    # Secondary corpus classes on chip (VERDICT r4 item 4): rgb8 + gray16.
+    rgb = load_suite("rgb/8bit", (512, 512, 3), np.uint8, 8)
+    g16 = load_suite("grayscale/16bit", (512, 512), np.uint16, 4)
+    rgb_mpxs, _, _, rgb_ratio, _, _ = tpu_bench(
+        rgb, ColorType.RGB, PixelDepth.EIGHT
+    )
+    rgb_cont, _, _ = container_bench(rgb, engine="auto")
+    g16_mpxs, _, _, g16_ratio, _, _ = tpu_bench(
+        g16, ColorType.GRAY, PixelDepth.SIXTEEN
+    )
+    g16_cont, _, _ = container_bench(g16, engine="auto")
+
     flcs_interop_check(images)
     result = {
         "metric": "FLCT tiled encode+decode throughput, 1 TPU chip "
@@ -338,6 +416,13 @@ def main():
         f"container-level {cont_mpxs:.1f} Mpx/s "
         f"[{cont_mpxs/base_mpxs:.1f}x, enc {c_enc*1e3:.0f}ms "
         f"dec {c_dec*1e3:.0f}ms]; "
+        f"pipelined-stream {strm_mpxs:.1f} Mpx/s "
+        f"[{strm_mpxs/base_mpxs:.1f}x, enc {s_enc*1e3:.0f}ms "
+        f"dec {s_dec*1e3:.0f}ms]; "
+        f"rgb8 kernel {rgb_mpxs:.0f} Mpx/s ratio {rgb_ratio:.3f} "
+        f"container {rgb_cont:.1f} Mpx/s; "
+        f"gray16 kernel {g16_mpxs:.0f} Mpx/s ratio {g16_ratio:.3f} "
+        f"container {g16_cont:.1f} Mpx/s; "
         f"native-C++-1core baseline {base_mpxs:.1f} Mpx/s)",
         "value": round(mpxs, 2),
         "unit": "Mpx/s",

@@ -15,10 +15,20 @@ from felics_tpu.parallel.tiling import (
     read_tiled_header,
     TiledHeader,
 )
+from felics_tpu.parallel.batch import (
+    compress_tiled_batch,
+    compress_tiled_stream,
+    decompress_tiled_batch,
+    decompress_tiled_stream,
+)
 
 __all__ = [
     "compress_tiled_bytes",
     "decompress_tiled_bytes",
     "read_tiled_header",
     "TiledHeader",
+    "compress_tiled_batch",
+    "decompress_tiled_batch",
+    "compress_tiled_stream",
+    "decompress_tiled_stream",
 ]

@@ -13,7 +13,8 @@ shared); sizes may differ freely.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from collections import deque
+from typing import Iterable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,16 +28,12 @@ from felics_tpu.ops.kscan_tiled import num_buckets
 from felics_tpu.parallel import tiling
 
 
-def compress_tiled_batch(
-    images: Sequence[np.ndarray],
-    tile: Optional[TileConfig] = None,
-    engine: str = "auto",
-) -> List[bytes]:
+def _prep_encode_batch(images: Sequence[np.ndarray], tile: TileConfig):
+    """Host-side batch prep shared by the one-shot and pipelined encoders.
+    Returns None when the batch cannot be tiled uniformly (caller falls
+    back per-image), else a dict of everything the device phase needs."""
     from felics_tpu.api import header_for_array
 
-    if not images:
-        return []
-    tile = tile or TileConfig()
     headers = [header_for_array(im) for im in images]
     depth = headers[0].pixel_depth
     color = headers[0].color_type
@@ -44,21 +41,90 @@ def compress_tiled_batch(
         raise ValueError("batch images must share dtype and channel count")
     th, tw = tile.tile_h, tile.tile_w
     if any(h.height < th or h.width < tw for h in headers):
-        # Mixed clamping would break tile uniformity; fall back per-image.
-        return [tiling.compress_tiled_bytes(im, tile, engine) for im in images]
+        return None  # mixed clamping would break tile uniformity
 
     cfg = tiled_config_for_depth(depth)
     nb = num_buckets(cfg)
-
-    parts = [
-        tiling._prepare_tiles(im, color, th, tw) for im in images
-    ]
+    parts = [tiling._prepare_tiles(im, color, th, tw) for im in images]
     counts = [p[0].shape[0] for p in parts]
     c = parts[0][0].shape[1]
     tiles_np = np.concatenate([p[0] for p in parts])
     tile_group = np.repeat(np.arange(len(images)), counts)
-    nt, _, t = tiles_np.shape
+    return {
+        "headers": headers, "depth": depth, "color": color, "th": th,
+        "tw": tw, "cfg": cfg, "nb": nb, "counts": counts, "c": c,
+        "tiles_np": tiles_np, "tile_group": tile_group,
+    }
+
+
+def _pack_batch_containers(prep, lengths, payload, k0s) -> List[bytes]:
+    tile_pos = np.concatenate([[0], np.cumsum(lengths)])
+    out: List[bytes] = []
+    t0 = 0
+    for header, n_t, k0 in zip(prep["headers"], prep["counts"], k0s):
+        t1 = t0 + n_t
+        body = payload[tile_pos[t0] : tile_pos[t1]]
+        out.append(
+            tiling.pack_tiled_container(
+                prep["color"], prep["depth"], header.width, header.height,
+                prep["tw"], prep["th"], n_t, lengths[t0:t1], bytes(body), k0,
+            )
+        )
+        t0 = t1
+    return out
+
+
+def _encode_batch_split(prep, engine: str):
+    """Non-fused device encode (XLA engine or fused-path fallback).
+    Returns (lengths, payload, k0s)."""
+    th, tw, cfg, nb, c = (
+        prep["th"], prep["tw"], prep["cfg"], prep["nb"], prep["c"]
+    )
+    tiles_np, tile_group, counts = (
+        prep["tiles_np"], prep["tile_group"], prep["counts"]
+    )
+    n_imgs = len(counts)
+    t = th * tw
     if tiling.k0_device_exact(cfg, int(max(counts)) * t):
+        tiles_dev = jnp.asarray(
+            tiles_np.astype(tiling.narrow_tile_dtype(cfg.depth_bits, c))
+        )
+        k0_dev, prior_dev = tiling.compute_k0_prior_jax(
+            tiles_dev, jnp.asarray(tile_group, jnp.int32), th, tw, cfg,
+            nb, n_imgs,
+        )
+        lengths, payload, k0s = tiling.encode_tiles_payload(
+            tiles_dev, prior_dev, cfg, th, tw, engine, extra=k0_dev
+        )
+        return lengths, payload, np.asarray(k0s)
+    # Host int64 path (16-bit sums can overflow device int32).
+    k0s = tiling.compute_k0_batch(tiles_np, counts, th, tw, cfg, nb)
+    priors = tiling.prior_from_k0(k0s, cfg, c)  # (n_imgs, C, nb, K)
+    lengths, payload, _ = tiling.encode_tiles_payload(
+        tiles_np, priors[tile_group], cfg, th, tw, engine
+    )
+    return lengths, payload, k0s
+
+
+def compress_tiled_batch(
+    images: Sequence[np.ndarray],
+    tile: Optional[TileConfig] = None,
+    engine: str = "auto",
+) -> List[bytes]:
+    if not images:
+        return []
+    tile = tile or TileConfig()
+    prep = _prep_encode_batch(images, tile)
+    if prep is None:
+        return [tiling.compress_tiled_bytes(im, tile, engine) for im in images]
+    th, tw, cfg, nb, c = (
+        prep["th"], prep["tw"], prep["cfg"], prep["nb"], prep["c"]
+    )
+    counts, tiles_np, tile_group = (
+        prep["counts"], prep["tiles_np"], prep["tile_group"]
+    )
+    res = None
+    if tiling.k0_device_exact(cfg, int(max(counts)) * (th * tw)):
         # Whole chain on device (k0 -> prior -> encode -> payload
         # compaction), ONE dispatch + ONE host sync when the fused fast
         # path applies. Narrow-dtype upload: 2-4x less wire than int32.
@@ -68,46 +134,17 @@ def compress_tiled_batch(
         res = tiling.encode_container_onepass(
             tiles_dev, tile_group, th, tw, cfg, nb, len(images), engine
         )
-        if res is not None:
-            lengths, payload, k0s = res
-        else:  # split path (XLA engine / fallback)
-            k0_dev, prior_dev = tiling.compute_k0_prior_jax(
-                tiles_dev, jnp.asarray(tile_group, jnp.int32), th, tw, cfg,
-                nb, len(images),
-            )
-            lengths, payload, k0s = tiling.encode_tiles_payload(
-                tiles_dev, prior_dev, cfg, th, tw, engine, extra=k0_dev
-            )
-            k0s = np.asarray(k0s)
+    if res is not None:
+        lengths, payload, k0s = res
     else:
-        # Host int64 path (16-bit sums can overflow device int32).
-        k0s = tiling.compute_k0_batch(tiles_np, counts, th, tw, cfg, nb)
-        priors = tiling.prior_from_k0(k0s, cfg, c)  # (n_imgs, C, nb, K)
-        lengths, payload, _ = tiling.encode_tiles_payload(
-            tiles_np, priors[tile_group], cfg, th, tw, engine
-        )
-    tile_pos = np.concatenate([[0], np.cumsum(lengths)])
-
-    out: List[bytes] = []
-    t0 = 0
-    for header, n_t, k0 in zip(headers, counts, k0s):
-        t1 = t0 + n_t
-        body = payload[tile_pos[t0] : tile_pos[t1]]
-        out.append(
-            tiling.pack_tiled_container(
-                color, depth, header.width, header.height, tw, th, n_t,
-                lengths[t0:t1], bytes(body), k0,
-            )
-        )
-        t0 = t1
-    return out
+        lengths, payload, k0s = _encode_batch_split(prep, engine)
+    return _pack_batch_containers(prep, lengths, payload, k0s)
 
 
-def decompress_tiled_batch(
-    datas: Sequence[bytes], engine: str = "auto"
-) -> List[np.ndarray]:
-    if not datas:
-        return []
+def _prep_decode_batch(datas: Sequence[bytes]):
+    """Host-side batch prep shared by the one-shot and pipelined decoders.
+    Returns None when the containers are not uniform (caller falls back
+    per-image)."""
     headers = [tiling.read_tiled_header(d) for d in datas]
     h0 = headers[0]
     if any(
@@ -115,11 +152,10 @@ def decompress_tiled_batch(
         != (h0.tile_h, h0.tile_w, h0.pixel_depth, h0.color_type)
         for h in headers
     ) or any(h.n_tiles == 0 for h in headers):
-        return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
+        return None
 
     cfg = tiled_config_for_depth(h0.pixel_depth)
     th, tw, c = h0.tile_h, h0.tile_w, h0.num_channels
-
     # Exact per-tile stream concatenation (container payloads may carry
     # trailing bytes; slice each to its tile-table total).
     payload = b"".join(
@@ -127,42 +163,24 @@ def decompress_tiled_batch(
         for d, h in zip(datas, headers)
     )
     lens = np.concatenate([h.tile_lengths for h in headers])
-    priors = np.stack(
-        [tiling.prior_from_k0(h.k0, cfg, c) for h in headers]
-    )
+    priors = np.stack([tiling.prior_from_k0(h.k0, cfg, c) for h in headers])
     tile_group = np.repeat(
         np.arange(len(headers)), [h.n_tiles for h in headers]
     )
-    # Fused single-dispatch chain (expand + decode + clamp/narrow on
-    # device, ONE fetch of the narrowed planes), then host-side assembly
-    # (transpose/crop/inverse-YCoCg are cheap numpy; per-image device
-    # assembles cost a dispatch + fetch round trip EACH — measured ~2/3 of
-    # batch decode wall time on the tunneled platform). The fetch rides
-    # the narrow dtype (4x less wire for gray8); values a valid stream
-    # cannot produce are clamped on device and flagged per tile so the
-    # cast never wraps garbage into the valid range.
-    depth_bits = 8 if h0.pixel_depth == PixelDepth.EIGHT else 16
-    res = tiling.decode_container_onepass(
-        payload, lens, th, tw, c, cfg, priors, tile_group, engine
-    )
-    if res is not None:
-        bufs_np, bad_np = res
-    else:
-        bufs = tiling.decode_tiles_bufs(
-            payload, lens, th, tw, c, cfg, priors, tile_group, engine
-        )
-        nd = tiling.narrow_tile_dtype(depth_bits, c)
-        bad_np = None
-        if nd.itemsize < 4:
-            small, bad = tiling._narrow_bufs(bufs, depth_bits, nd.name)
-            small_np, bad_np = jax.device_get((small, bad))
-            bufs_np = np.asarray(small_np).astype(np.int32)
-        else:
-            bufs_np = np.asarray(bufs)
-    depth_max = 255 if h0.pixel_depth == PixelDepth.EIGHT else 65535
+    return {
+        "headers": headers, "cfg": cfg, "th": th, "tw": tw, "c": c,
+        "payload": payload, "lens": lens, "priors": priors,
+        "tile_group": tile_group,
+        "depth_bits": 8 if h0.pixel_depth == PixelDepth.EIGHT else 16,
+    }
+
+
+def _assemble_batch_images(prep, bufs_np, bad_np) -> List[np.ndarray]:
+    th, tw, c = prep["th"], prep["tw"], prep["c"]
+    depth_max = (1 << prep["depth_bits"]) - 1
     out: List[np.ndarray] = []
     t0 = 0
-    for h in headers:
+    for h in prep["headers"]:
         ty = -(-h.height // th)
         tx = -(-h.width // tw)
         if bad_np is not None and bad_np[t0 : t0 + h.n_tiles].any():
@@ -177,3 +195,153 @@ def decompress_tiled_batch(
         )
         t0 += h.n_tiles
     return out
+
+
+def _decode_batch_split(prep, engine: str):
+    """Non-fused decode (XLA engine or fallback): returns (bufs_np, bad_np)."""
+    th, tw, c, cfg = prep["th"], prep["tw"], prep["c"], prep["cfg"]
+    bufs = tiling.decode_tiles_bufs(
+        prep["payload"], prep["lens"], th, tw, c, cfg, prep["priors"],
+        prep["tile_group"], engine,
+    )
+    nd = tiling.narrow_tile_dtype(prep["depth_bits"], c)
+    if nd.itemsize < 4:
+        small, bad = tiling._narrow_bufs(bufs, prep["depth_bits"], nd.name)
+        small_np, bad_np = jax.device_get((small, bad))
+        return np.asarray(small_np).astype(np.int32), np.asarray(bad_np)
+    return np.asarray(bufs), None
+
+
+def decompress_tiled_batch(
+    datas: Sequence[bytes], engine: str = "auto"
+) -> List[np.ndarray]:
+    if not datas:
+        return []
+    prep = _prep_decode_batch(datas)
+    if prep is None:
+        return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
+    # Fused single-dispatch chain (expand + decode + clamp/narrow on
+    # device, ONE fetch of the narrowed planes), then host-side assembly
+    # (transpose/crop/inverse-YCoCg are cheap numpy; per-image device
+    # assembles cost a dispatch + fetch round trip EACH — measured ~2/3 of
+    # batch decode wall time on the tunneled platform). The fetch rides
+    # the narrow dtype (4x less wire for gray8); values a valid stream
+    # cannot produce are clamped on device and flagged per tile so the
+    # cast never wraps garbage into the valid range.
+    res = tiling.decode_container_onepass(
+        prep["payload"], prep["lens"], prep["th"], prep["tw"], prep["c"],
+        prep["cfg"], prep["priors"], prep["tile_group"], engine,
+    )
+    if res is not None:
+        bufs_np, bad_np = res
+    else:
+        bufs_np, bad_np = _decode_batch_split(prep, engine)
+    return _assemble_batch_images(prep, bufs_np, bad_np)
+
+
+# ---------------------------------------------------------------------------
+# Pipelined streaming (double-buffered serving). The tunneled platform pays
+# ~full wire time for every upload and fetch; a strictly serial
+# upload -> dispatch -> fetch per batch leaves the device idle during both
+# transfers. The stream keeps ``depth`` batches in flight: batch N+1's
+# upload + dispatch are enqueued (and its device->host result copy started
+# via copy_to_host_async) BEFORE batch N's results are fetched, so wire and
+# compute overlap wherever the runtime allows. Dispatch halves come from
+# tiling.encode_container_dispatch / decode_container_dispatch; the
+# blocking finish halves run at pop time.
+# ---------------------------------------------------------------------------
+
+
+def compress_tiled_stream(
+    batches: Iterable[Sequence[np.ndarray]],
+    tile: Optional[TileConfig] = None,
+    engine: str = "auto",
+    depth: int = 2,
+) -> List[List[bytes]]:
+    """Encode a stream of image batches with up to ``depth`` batches in
+    flight. Returns one list of FLCT containers per input batch,
+    byte-identical to per-batch ``compress_tiled_batch``."""
+    tile = tile or TileConfig()
+    batches = [list(b) for b in batches]
+    results: List[Optional[List[bytes]]] = [None] * len(batches)
+    pending: deque = deque()
+
+    def finish(idx, prep, p, images):
+        if prep is None:
+            results[idx] = [
+                tiling.compress_tiled_bytes(im, tile, engine) for im in images
+            ]
+            return
+        res = tiling.encode_container_finish(p) if p is not None else None
+        if res is None:
+            res = _encode_batch_split(prep, engine)
+        lengths, payload, k0s = res
+        results[idx] = _pack_batch_containers(prep, lengths, payload, k0s)
+
+    for idx, images in enumerate(batches):
+        if not images:
+            results[idx] = []
+            continue
+        prep = _prep_encode_batch(images, tile)
+        p = None
+        if prep is not None and tiling.k0_device_exact(
+            prep["cfg"], int(max(prep["counts"])) * prep["th"] * prep["tw"]
+        ):
+            tiles_dev = jnp.asarray(
+                prep["tiles_np"].astype(
+                    tiling.narrow_tile_dtype(prep["cfg"].depth_bits, prep["c"])
+                )
+            )
+            p = tiling.encode_container_dispatch(
+                tiles_dev, prep["tile_group"], prep["th"], prep["tw"],
+                prep["cfg"], prep["nb"], len(images), engine,
+            )
+        pending.append((idx, prep, p, images))
+        while len(pending) > depth:
+            finish(*pending.popleft())
+    while pending:
+        finish(*pending.popleft())
+    return results  # type: ignore[return-value]
+
+
+def decompress_tiled_stream(
+    batches: Iterable[Sequence[bytes]],
+    engine: str = "auto",
+    depth: int = 2,
+) -> List[List[np.ndarray]]:
+    """Decode a stream of container batches with up to ``depth`` batches in
+    flight (mirror of compress_tiled_stream)."""
+    batches = [list(b) for b in batches]
+    results: List[Optional[List[np.ndarray]]] = [None] * len(batches)
+    pending: deque = deque()
+
+    def finish(idx, prep, p, datas):
+        if prep is None:
+            results[idx] = [
+                tiling.decompress_tiled_bytes(d, engine) for d in datas
+            ]
+            return
+        res = tiling.decode_container_finish(p) if p is not None else None
+        if res is None:
+            res = _decode_batch_split(prep, engine)
+        bufs_np, bad_np = res
+        results[idx] = _assemble_batch_images(prep, bufs_np, bad_np)
+
+    for idx, datas in enumerate(batches):
+        if not datas:
+            results[idx] = []
+            continue
+        prep = _prep_decode_batch(datas)
+        p = None
+        if prep is not None:
+            p = tiling.decode_container_dispatch(
+                prep["payload"], prep["lens"], prep["th"], prep["tw"],
+                prep["c"], prep["cfg"], prep["priors"], prep["tile_group"],
+                engine,
+            )
+        pending.append((idx, prep, p, datas))
+        while len(pending) > depth:
+            finish(*pending.popleft())
+    while pending:
+        finish(*pending.popleft())
+    return results  # type: ignore[return-value]

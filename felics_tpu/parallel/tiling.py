@@ -688,15 +688,26 @@ def _fused_encode_chain(
     return payload, bits, k0, total
 
 
-def encode_container_onepass(
+def _host_async(arrs) -> None:
+    """Start device->host copies for already-dispatched results so the wire
+    transfer overlaps whatever the host does next (pipelined serving)."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass  # older jax / non-Array results: the later fetch still works
+
+
+def encode_container_dispatch(
     tiles_host, tile_group, th: int, tw: int, cfg: CodingConfig, nb: int,
     n_imgs: int, engine: str,
 ):
-    """Single-dispatch device container encode (k0 + prior + Pallas encode +
-    payload compaction fused). Returns (tile_bytes int64, payload bytes,
-    k0s (n_imgs, C, nb) int32) or None when the fast path is unavailable
-    (non-pallas engine, VMEM-infeasible, Mosaic failure, toy tiles) — the
-    caller then uses the split encode_tiles_payload path."""
+    """Async half of the single-dispatch container encode: uploads the tile
+    batch, dispatches the fused chain (k0 + prior + Pallas encode + payload
+    compaction) and starts the device->host result copies WITHOUT blocking.
+    Returns an opaque pending dict for ``encode_container_finish`` or None
+    when the fast path is unavailable (non-pallas engine, VMEM-infeasible,
+    prior Mosaic failure)."""
     from felics_tpu.ops import pallas_codec as pc
 
     nt, c, t = tiles_host.shape
@@ -712,43 +723,100 @@ def encode_container_onepass(
     interpret = not pc.on_tpu()
     tiles_dev = jnp.asarray(tiles_host)
     tg = jnp.asarray(np.asarray(tile_group, np.int32))
-    for wtry in dict.fromkeys([pc.width_hint(cfg, t, c), wcap]):
-        if not pc.kernel_plan(cfg, th, tw, c, wtry):
-            break
-        cap = payload_cap_hint(cfg, nt, t, c)
-        for _ in range(3):
-            try:
-                pay, bits, k0, total = _fused_encode_chain(
-                    tiles_dev, tg, th, tw, cfg, nb, n_imgs, wtry, cap,
-                    interpret,
-                )
-                bits_np, k0_np, pay_np, total_i = jax.device_get(
-                    (bits, k0, pay, total)
-                )
-            except Exception as e:
-                if engine == "pallas":
-                    raise
-                # The fused chain also contains plain-XLA stages (k0/prior,
-                # compaction) — a failure here must not condemn the Pallas
-                # kernels themselves. Disable only the fused chain; the
-                # caller's split path retries Pallas standalone and disables
-                # the (op, key) there if the kernel truly fails.
-                _disable_pallas("onepass-encode", enc_key, e)
+    wtry = pc.width_hint(cfg, t, c)
+    if not pc.kernel_plan(cfg, th, tw, c, wtry):
+        return None
+    cap = payload_cap_hint(cfg, nt, t, c)
+    try:
+        pay, bits, k0, total = _fused_encode_chain(
+            tiles_dev, tg, th, tw, cfg, nb, n_imgs, wtry, cap, interpret
+        )
+    except Exception as e:
+        if engine == "pallas":
+            raise
+        # The fused chain also contains plain-XLA stages (k0/prior,
+        # compaction) — a failure here must not condemn the Pallas kernels
+        # themselves. Disable only the fused chain; the caller's split path
+        # retries Pallas standalone and disables the (op, key) there if the
+        # kernel truly fails.
+        _disable_pallas("onepass-encode", enc_key, e)
+        return None
+    _host_async((pay, bits, k0, total))
+    return {
+        "tiles_dev": tiles_dev, "tg": tg, "pay": pay, "bits": bits,
+        "k0": k0, "total": total, "wtry": wtry, "cap": cap, "wcap": wcap,
+        "th": th, "tw": tw, "cfg": cfg, "nb": nb, "n_imgs": n_imgs,
+        "engine": engine, "enc_key": enc_key, "interpret": interpret,
+        "nt": nt, "c": c, "t": t,
+    }
+
+
+def encode_container_finish(p):
+    """Blocking half: fetches the pending fused-encode results, handling
+    stream-width / payload-cap overflows with synchronous re-dispatches.
+    Returns (tile_bytes int64, payload bytes, k0s (n_imgs, C, nb) int32)
+    or None (caller falls back to the split encode_tiles_payload path)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    cfg, nt, c, t = p["cfg"], p["nt"], p["c"], p["t"]
+    engine, enc_key = p["engine"], p["enc_key"]
+    wtry, cap = p["wtry"], p["cap"]
+    pay, bits, k0, total = p["pay"], p["bits"], p["k0"], p["total"]
+    # Attempt bound: at most one W escalation + 3 cap retries per W.
+    for _attempt in range(8):
+        try:
+            bits_np, k0_np, pay_np, total_i = jax.device_get(
+                (bits, k0, pay, total)
+            )
+        except Exception as e:
+            if engine == "pallas":
+                raise
+            _disable_pallas("onepass-encode", enc_key, e)
+            return None
+        bits_np = np.asarray(bits_np).astype(np.int64)
+        if int(bits_np.max()) > wtry * 32:
+            if wtry >= p["wcap"]:
+                return None  # pathological stream beyond the static bound
+            wtry = p["wcap"]  # W overflow: retry at the pessimistic bound
+            if not pc.kernel_plan(cfg, p["th"], p["tw"], c, wtry):
                 return None
-            bits_np = np.asarray(bits_np).astype(np.int64)
-            if int(bits_np.max()) > wtry * 32:
-                break  # W overflow: retry at the next (bigger) W
-            if int(bits_np.min()) < 64:
-                return None  # toy tiles: _compact precondition fails
-            if int(total_i) <= cap:
-                pc.observe_width(cfg, t, c, int(bits_np.max()))
-                tb = ((bits_np + 7) // 8).astype(np.int64)
-                observe_payload(cfg, t, c, int(tb.sum()) // nt)
-                return tb, pay_np[: int(total_i)].tobytes(), np.asarray(k0_np)
-            cap = _bucket_bytes(int(total_i))  # cap overflow: exact retry
+        elif int(bits_np.min()) < 64:
+            return None  # toy tiles: _compact precondition fails
+        elif int(total_i) <= cap:
+            pc.observe_width(cfg, t, c, int(bits_np.max()))
+            tb = ((bits_np + 7) // 8).astype(np.int64)
+            observe_payload(cfg, t, c, int(tb.sum()) // nt)
+            return tb, pay_np[: int(total_i)].tobytes(), np.asarray(k0_np)
         else:
+            cap = _bucket_bytes(int(total_i))  # cap overflow: exact retry
+        try:
+            pay, bits, k0, total = _fused_encode_chain(
+                p["tiles_dev"], p["tg"], p["th"], p["tw"], cfg, p["nb"],
+                p["n_imgs"], wtry, cap, p["interpret"],
+            )
+        except Exception as e:
+            if engine == "pallas":
+                raise
+            _disable_pallas("onepass-encode", enc_key, e)
             return None
     return None
+
+
+def encode_container_onepass(
+    tiles_host, tile_group, th: int, tw: int, cfg: CodingConfig, nb: int,
+    n_imgs: int, engine: str,
+):
+    """Single-dispatch device container encode (k0 + prior + Pallas encode +
+    payload compaction fused). Returns (tile_bytes int64, payload bytes,
+    k0s (n_imgs, C, nb) int32) or None when the fast path is unavailable
+    (non-pallas engine, VMEM-infeasible, Mosaic failure, toy tiles) — the
+    caller then uses the split encode_tiles_payload path."""
+    p = encode_container_dispatch(
+        tiles_host, tile_group, th, tw, cfg, nb, n_imgs, engine
+    )
+    if p is None:
+        return None
+    return encode_container_finish(p)
 
 
 @partial(
@@ -773,14 +841,14 @@ def _fused_decode_chain(
     return _narrow_bufs(bufs, cfg.depth_bits, out_dtype)
 
 
-def decode_container_onepass(
+def decode_container_dispatch(
     payload: bytes, lens: np.ndarray, th: int, tw: int, c: int,
     cfg: CodingConfig, prior_np: np.ndarray, tile_group, engine: str,
 ):
-    """Single-dispatch device container decode (column expansion + Pallas
-    decode + clamp/narrow fused); ONE fetch of the narrowed tile planes.
-    Returns (tiles_np (nt, C, T) int32, bad_np (nt,) bool) or None when the
-    fast path is unavailable (callers use decode_tiles_bufs)."""
+    """Async half of the single-dispatch container decode: uploads the
+    payload, dispatches the fused chain (column expansion + Pallas decode +
+    clamp/narrow) and starts the result copies without blocking. Returns a
+    pending dict for ``decode_container_finish`` or None."""
     from felics_tpu.ops import pallas_codec as pc
 
     lens = np.asarray(lens, np.int64)
@@ -812,7 +880,6 @@ def decode_container_onepass(
             jnp.asarray(pr),
             th, tw, c, cfg, wd, nd.name, not pc.on_tpu(),
         )
-        small_np, bad_np = jax.device_get((small, bad))
     except Exception as e:
         if engine == "pallas":
             raise
@@ -820,7 +887,39 @@ def decode_container_onepass(
         # split path retries the Pallas kernel standalone.
         _disable_pallas("onepass-decode", dec_key, e)
         return None
+    _host_async((small, bad))
+    return {
+        "small": small, "bad": bad, "engine": engine, "dec_key": dec_key,
+    }
+
+
+def decode_container_finish(p):
+    """Blocking half: fetch the narrowed tile planes. Returns
+    (tiles_np (nt, C, T) int32, bad_np (nt,) bool) or None."""
+    try:
+        small_np, bad_np = jax.device_get((p["small"], p["bad"]))
+    except Exception as e:
+        if p["engine"] == "pallas":
+            raise
+        _disable_pallas("onepass-decode", p["dec_key"], e)
+        return None
     return np.asarray(small_np).astype(np.int32), np.asarray(bad_np)
+
+
+def decode_container_onepass(
+    payload: bytes, lens: np.ndarray, th: int, tw: int, c: int,
+    cfg: CodingConfig, prior_np: np.ndarray, tile_group, engine: str,
+):
+    """Single-dispatch device container decode (column expansion + Pallas
+    decode + clamp/narrow fused); ONE fetch of the narrowed tile planes.
+    Returns (tiles_np (nt, C, T) int32, bad_np (nt,) bool) or None when the
+    fast path is unavailable (callers use decode_tiles_bufs)."""
+    p = decode_container_dispatch(
+        payload, lens, th, tw, c, cfg, prior_np, tile_group, engine
+    )
+    if p is None:
+        return None
+    return decode_container_finish(p)
 
 
 @partial(

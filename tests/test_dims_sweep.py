@@ -1,10 +1,11 @@
-"""Exhaustive small-dims parity sweep, 0..12 x 0..12 x {u8,u16} x {gray,rgb}.
+"""Exhaustive small-dims parity sweep, 0..20 x 0..20 x {u8,u16} x {gray,rgb}.
 
 Reference counterpart: the #[ignore]d 0..20 sweep in src/compression.rs:
 544-558. Here the full 13x13 grid runs BY DEFAULT across the oracle and
-native codecs (byte-equality + exact round trip — catches preamble/edge bugs
-in all four format combos); including the jax backend for every shape would
-jit-compile ~170 distinct programs, so the jax column covers a spanning
+native codecs — the SAME 21x21 grid as the reference's #[ignore]d sweep,
+but on by default (byte-equality + exact round trip — catches preamble/edge
+bugs in all four format combos); including the jax backend for every shape
+would jit-compile ~440 distinct programs, so the jax column covers a spanning
 subset by default and the full grid under FELICS_TPU_FULL_SWEEP=1
 (mirroring the reference's ignore-gating of the expensive variant).
 """
@@ -17,7 +18,7 @@ import pytest
 from felics_tpu.api import compress_image_bytes, decompress_image_bytes
 
 FULL_JAX = os.environ.get("FELICS_TPU_FULL_SWEEP", "0") == "1"
-JAX_DIMS = {0, 1, 2, 3, 5, 12}
+JAX_DIMS = {0, 1, 2, 3, 5, 12, 20}
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -40,8 +41,8 @@ def built_native():
 @pytest.mark.parametrize("channels", [None, 3])
 def test_dims_sweep(rng, dtype, channels):
     hi = np.iinfo(dtype).max + 1
-    for w in range(0, 13):
-        for h in range(0, 13):
+    for w in range(0, 21):
+        for h in range(0, 21):
             shape = (h, w) if channels is None else (h, w, channels)
             img = rng.integers(0, hi, size=shape).astype(dtype)
             ora = compress_image_bytes(img, backend="oracle")
