@@ -85,10 +85,10 @@ def _encode_batch_split(prep, engine: str):
     )
     n_imgs = len(counts)
     t = th * tw
-    if tiling.k0_device_exact(cfg, int(max(counts)) * t):
-        tiles_dev = jnp.asarray(
-            tiles_np.astype(tiling.narrow_tile_dtype(cfg.depth_bits, c))
-        )
+    tiles_dev = jnp.asarray(
+        tiles_np.astype(tiling.narrow_tile_dtype(cfg.depth_bits, c))
+    )
+    if tiling.k0_device_exact(cfg, t, int(max(counts))):
         k0_dev, prior_dev = tiling.compute_k0_prior_jax(
             tiles_dev, jnp.asarray(tile_group, jnp.int32), th, tw, cfg,
             nb, n_imgs,
@@ -97,13 +97,73 @@ def _encode_batch_split(prep, engine: str):
             tiles_dev, prior_dev, cfg, th, tw, engine, extra=k0_dev
         )
         return lengths, payload, np.asarray(k0s)
-    # Host int64 path (16-bit sums can overflow device int32).
+    # Host int64 k0 path (shapes where the device split-accumulator
+    # bound fails); the pixels still ride the narrow dtype up.
     k0s = tiling.compute_k0_batch(tiles_np, counts, th, tw, cfg, nb)
     priors = tiling.prior_from_k0(k0s, cfg, c)  # (n_imgs, C, nb, K)
     lengths, payload, _ = tiling.encode_tiles_payload(
-        tiles_np, priors[tile_group], cfg, th, tw, engine
+        tiles_dev, priors[tile_group], cfg, th, tw, engine
     )
     return lengths, payload, k0s
+
+
+def _encode_dispatch(prep, engine: str):
+    """Start the fused single-dispatch encode for a prepped batch (async).
+    The whole chain incl. the split-accumulator exact k0 runs on device
+    for both depths; only pathological shapes (k0_device_exact False)
+    compute k0 on the host (int64) and dispatch the prior-fed chain.
+    Returns a pending dict for tiling.encode_container_finish, or None."""
+    th, tw, cfg, nb, c = (
+        prep["th"], prep["tw"], prep["cfg"], prep["nb"], prep["c"]
+    )
+    counts, tiles_np, tile_group = (
+        prep["counts"], prep["tiles_np"], prep["tile_group"]
+    )
+    nd = tiling.narrow_tile_dtype(cfg.depth_bits, c)
+    if tiling.k0_device_exact(cfg, th * tw, int(max(counts))):
+        tiles_dev = jnp.asarray(tiles_np.astype(nd))
+        return tiling.encode_container_dispatch(
+            tiles_dev, tile_group, th, tw, cfg, nb, len(counts), engine
+        )
+    k0s = tiling.compute_k0_batch(tiles_np, counts, th, tw, cfg, nb)
+    priors = tiling.prior_from_k0(k0s, cfg, c)  # (n_imgs, C, nb, K)
+    tiles_dev = jnp.asarray(tiles_np.astype(nd))
+    return tiling.encode_container_dispatch(
+        tiles_dev, None, th, tw, cfg, nb, len(counts), engine,
+        prior_np=priors[tile_group], k0s_host=k0s,
+    )
+
+
+def _encode_dispatch_images(images, tile: TileConfig, engine: str):
+    """Same-shape raw-pixel fast path: stacks the batch and dispatches the
+    whole chain (device YCoCg/tiling included) from the images' own dtype.
+    Returns (prep_lite, pending) or None. Bytes are identical to the
+    host-prep path (the device tiler mirrors _prepare_tiles exactly)."""
+    from felics_tpu.api import header_for_array
+
+    im0 = images[0]
+    if any(im.shape != im0.shape or im.dtype != im0.dtype for im in images):
+        return None
+    headers = [header_for_array(im) for im in images]
+    th, tw = tile.tile_h, tile.tile_w
+    h, w = headers[0].height, headers[0].width
+    if h < th or w < tw or h == 0 or w == 0:
+        return None
+    cfg = tiled_config_for_depth(headers[0].pixel_depth)
+    nb = num_buckets(cfg)
+    p = tiling.encode_images_dispatch(
+        np.stack(images), th, tw, cfg, nb, engine
+    )
+    if p is None:
+        return None
+    ty, tx = -(-h // th), -(-w // tw)
+    prep_lite = {
+        "headers": headers, "depth": headers[0].pixel_depth,
+        "color": headers[0].color_type, "th": th, "tw": tw, "cfg": cfg,
+        "nb": nb, "counts": [ty * tx] * len(images),
+        "c": headers[0].num_channels,
+    }
+    return prep_lite, p
 
 
 def compress_tiled_batch(
@@ -114,26 +174,21 @@ def compress_tiled_batch(
     if not images:
         return []
     tile = tile or TileConfig()
+    fast = _encode_dispatch_images(images, tile, engine)
+    if fast is not None:
+        prep_lite, p = fast
+        res = tiling.encode_container_finish(p)
+        if res is not None:
+            lengths, payload, k0s = res
+            return _pack_batch_containers(prep_lite, lengths, payload, k0s)
     prep = _prep_encode_batch(images, tile)
     if prep is None:
         return [tiling.compress_tiled_bytes(im, tile, engine) for im in images]
-    th, tw, cfg, nb, c = (
-        prep["th"], prep["tw"], prep["cfg"], prep["nb"], prep["c"]
-    )
-    counts, tiles_np, tile_group = (
-        prep["counts"], prep["tiles_np"], prep["tile_group"]
-    )
-    res = None
-    if tiling.k0_device_exact(cfg, int(max(counts)) * (th * tw)):
-        # Whole chain on device (k0 -> prior -> encode -> payload
-        # compaction), ONE dispatch + ONE host sync when the fused fast
-        # path applies. Narrow-dtype upload: 2-4x less wire than int32.
-        tiles_dev = jnp.asarray(
-            tiles_np.astype(tiling.narrow_tile_dtype(cfg.depth_bits, c))
-        )
-        res = tiling.encode_container_onepass(
-            tiles_dev, tile_group, th, tw, cfg, nb, len(images), engine
-        )
+    # Whole chain on device (prior -> encode -> payload compaction), ONE
+    # dispatch + ONE host sync when the fused fast path applies.
+    # Narrow-dtype upload: 2-4x less wire than int32.
+    p = _encode_dispatch(prep, engine)
+    res = tiling.encode_container_finish(p) if p is not None else None
     if res is not None:
         lengths, payload, k0s = res
     else:
@@ -167,10 +222,15 @@ def _prep_decode_batch(datas: Sequence[bytes]):
     tile_group = np.repeat(
         np.arange(len(headers)), [h.n_tiles for h in headers]
     )
+    same_shape = (
+        (h0.height, h0.width)
+        if all((h.height, h.width) == (h0.height, h0.width) for h in headers)
+        else None
+    )
     return {
         "headers": headers, "cfg": cfg, "th": th, "tw": tw, "c": c,
         "payload": payload, "lens": lens, "priors": priors,
-        "tile_group": tile_group,
+        "tile_group": tile_group, "same_shape": same_shape,
         "depth_bits": 8 if h0.pixel_depth == PixelDepth.EIGHT else 16,
     }
 
@@ -212,6 +272,27 @@ def _decode_batch_split(prep, engine: str):
     return np.asarray(bufs), None
 
 
+def _decode_dispatch_images(prep, engine: str):
+    """Start the same-shape images decode (device assembly) if eligible."""
+    if prep["same_shape"] is None:
+        return None
+    h, w = prep["same_shape"]
+    return tiling.decode_images_dispatch(
+        prep["payload"], prep["lens"], prep["th"], prep["tw"], prep["c"],
+        prep["cfg"], prep["priors"], prep["tile_group"],
+        len(prep["headers"]), h, w, engine,
+    )
+
+
+def _finish_images_decode(r) -> Optional[List[np.ndarray]]:
+    if r is None:
+        return None
+    out_np, valid_np = r
+    if not valid_np.all():
+        raise errors.InvalidValue("decoded value does not fit the pixel depth")
+    return [out_np[i] for i in range(out_np.shape[0])]
+
+
 def decompress_tiled_batch(
     datas: Sequence[bytes], engine: str = "auto"
 ) -> List[np.ndarray]:
@@ -220,6 +301,11 @@ def decompress_tiled_batch(
     prep = _prep_decode_batch(datas)
     if prep is None:
         return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
+    p = _decode_dispatch_images(prep, engine)
+    if p is not None:
+        out = _finish_images_decode(tiling.decode_images_finish(p))
+        if out is not None:
+            return out
     # Fused single-dispatch chain (expand + decode + clamp/narrow on
     # device, ONE fetch of the narrowed planes), then host-side assembly
     # (transpose/crop/inverse-YCoCg are cheap numpy; per-image device
@@ -274,6 +360,8 @@ def compress_tiled_stream(
             return
         res = tiling.encode_container_finish(p) if p is not None else None
         if res is None:
+            if "tiles_np" not in prep:  # lite prep (images fast path)
+                prep = _prep_encode_batch(images, tile)
             res = _encode_batch_split(prep, engine)
         lengths, payload, k0s = res
         results[idx] = _pack_batch_containers(prep, lengths, payload, k0s)
@@ -282,20 +370,12 @@ def compress_tiled_stream(
         if not images:
             results[idx] = []
             continue
-        prep = _prep_encode_batch(images, tile)
-        p = None
-        if prep is not None and tiling.k0_device_exact(
-            prep["cfg"], int(max(prep["counts"])) * prep["th"] * prep["tw"]
-        ):
-            tiles_dev = jnp.asarray(
-                prep["tiles_np"].astype(
-                    tiling.narrow_tile_dtype(prep["cfg"].depth_bits, prep["c"])
-                )
-            )
-            p = tiling.encode_container_dispatch(
-                tiles_dev, prep["tile_group"], prep["th"], prep["tw"],
-                prep["cfg"], prep["nb"], len(images), engine,
-            )
+        fast = _encode_dispatch_images(images, tile, engine)
+        if fast is not None:
+            prep, p = fast
+        else:
+            prep = _prep_encode_batch(images, tile)
+            p = _encode_dispatch(prep, engine) if prep is not None else None
         pending.append((idx, prep, p, images))
         while len(pending) > depth:
             finish(*pending.popleft())
@@ -321,6 +401,12 @@ def decompress_tiled_stream(
                 tiling.decompress_tiled_bytes(d, engine) for d in datas
             ]
             return
+        if p is not None and "out" in p:  # images fast path
+            out = _finish_images_decode(tiling.decode_images_finish(p))
+            if out is not None:
+                results[idx] = out
+                return
+            p = None
         res = tiling.decode_container_finish(p) if p is not None else None
         if res is None:
             res = _decode_batch_split(prep, engine)
@@ -334,11 +420,13 @@ def decompress_tiled_stream(
         prep = _prep_decode_batch(datas)
         p = None
         if prep is not None:
-            p = tiling.decode_container_dispatch(
-                prep["payload"], prep["lens"], prep["th"], prep["tw"],
-                prep["c"], prep["cfg"], prep["priors"], prep["tile_group"],
-                engine,
-            )
+            p = _decode_dispatch_images(prep, engine)
+            if p is None:
+                p = tiling.decode_container_dispatch(
+                    prep["payload"], prep["lens"], prep["th"], prep["tw"],
+                    prep["c"], prep["cfg"], prep["priors"],
+                    prep["tile_group"], engine,
+                )
         pending.append((idx, prep, p, datas))
         while len(pending) > depth:
             finish(*pending.popleft())

@@ -259,14 +259,21 @@ def compute_k0(
     )[0]
 
 
-def k0_device_exact(cfg: CodingConfig, t: int) -> bool:
-    """Whether the on-device int32 k0 sums are provably exact: each
-    (image, channel, bucket) total is bounded by n_pixels_in_image x
-    (2^depth + depth + 2). 8-bit always passes; big noisy 16-bit images
-    could overflow int32, so they use the host int64 path."""
-    # t here is per-tile pixels; the bound must hold for a whole image's
-    # worth of tiles, so callers pass total pixels per image.
-    return t * ((1 << cfg.depth_bits) + cfg.depth_bits + 2) < (1 << 31)
+def k0_device_exact(
+    cfg: CodingConfig, tile_pixels: int, tiles_per_image: int
+) -> bool:
+    """Whether the on-device k0 sums are provably exact.
+
+    The device pass (compute_k0_prior_jax) accumulates per-TILE int32
+    partials — bounded by tile_pixels x (2^depth + depth + 2) — then
+    carries them across an image's tiles as 16-bit-split (hi, lo) int32
+    pairs with a lexicographic argmin, exact far past int32. 16-bit
+    images therefore stay on the device path too (pre-r4 they fell back
+    to a host int64 pass that dominated container encode time)."""
+    per_tile = tile_pixels * ((1 << cfg.depth_bits) + cfg.depth_bits + 2)
+    lo_sum = tiles_per_image * ((1 << 16) - 1)
+    hi_sum = tiles_per_image * (per_tile >> 16)
+    return max(per_tile, lo_sum, hi_sum + (lo_sum >> 16)) < (1 << 31)
 
 
 @partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb", "n_imgs"))
@@ -279,8 +286,12 @@ def compute_k0_prior_jax(
 
     Same exact sums/argmin as compute_k0_batch (callers must gate with
     k0_device_exact); keeps the whole container encode chain on-device —
-    the host k0 pass measured ~30 ms/image on a slow host and serialized
-    ahead of the kernel dispatch."""
+    the host k0 pass measured ~30 ms/image on a slow host (and 100s of ms
+    for 16-bit images) and serialized ahead of the kernel dispatch.
+    Cross-tile accumulation runs as 16-bit-split (hi, lo) int32 pairs so
+    the per-image totals stay EXACT past int32 (the 16-bit depths need
+    ~35 bits); the argmin compares the pairs lexicographically after
+    carry normalization — identical result to the host int64 argmin."""
     from felics_tpu.ops.kscan_tiled import qctx_of as _qctx
 
     tiles = tiles.astype(jnp.int32)  # callers upload the narrow dtype
@@ -310,12 +321,25 @@ def compute_k0_prior_jax(
     for k in cfg.k_values:
         w = jnp.where(oor, (residual >> k) + 1 + int(k), 0)
         per_tile.append(jnp.einsum("nct,nctb->ncb", w, onehot))
-    per_tile = jnp.stack(per_tile, axis=-1)  # (nt, C, nb, K)
-    totals = jax.ops.segment_sum(
-        per_tile, img_of_tile, num_segments=n_imgs
-    )  # (n_imgs, C, nb, K)
-    best = (K - 1) - jnp.argmin(totals[..., ::-1], axis=-1)
-    k0 = kv[best]  # (n_imgs, C, nb); ties -> largest k
+    per_tile = jnp.stack(per_tile, axis=-1)  # (nt, C, nb, K), exact int32
+    # Exact-past-int32 cross-tile accumulation: 16-bit split halves summed
+    # separately, carry-normalized, compared lexicographically.
+    lo_sum = jax.ops.segment_sum(
+        per_tile & 0xFFFF, img_of_tile, num_segments=n_imgs
+    )
+    hi_sum = jax.ops.segment_sum(
+        per_tile >> 16, img_of_tile, num_segments=n_imgs
+    )
+    hi = hi_sum + (lo_sum >> 16)  # (n_imgs, C, nb, K)
+    lo = lo_sum & 0xFFFF
+    m_hi = jnp.min(hi, axis=-1, keepdims=True)
+    lo_sel = jnp.where(hi == m_hi, lo, jnp.int32(1 << 30))
+    m_lo = jnp.min(lo_sel, axis=-1, keepdims=True)
+    is_best = (hi == m_hi) & (lo == m_lo)  # total == min total
+    # ties -> LARGEST k: last True along K (mirror of the reversed argmin
+    # in compute_k0_batch).
+    best = (K - 1) - jnp.argmax(is_best[..., ::-1], axis=-1)
+    k0 = kv[best]  # (n_imgs, C, nb)
     prior_img = PRIOR_WEIGHT * jnp.abs(
         kv[None, None, None, :] - k0[..., None]
     )  # (n_imgs, C, nb, K)
@@ -688,6 +712,31 @@ def _fused_encode_chain(
     return payload, bits, k0, total
 
 
+@partial(
+    jax.jit,
+    static_argnames=("th", "tw", "cfg", "W", "cap", "interpret"),
+)
+def _fused_encode_chain_prior(
+    tiles, prior, th: int, tw: int, cfg: CodingConfig, W: int, cap: int,
+    interpret: bool,
+):
+    """_fused_encode_chain with a precomputed k-table prior instead of the
+    on-device k0 pass — the 16-bit route, whose per-image Rice-length sums
+    can overflow int32 on device and are computed exactly on the host
+    (compute_k0_batch, int64). tiles: (nt, C, T) narrow dtype; prior:
+    (nt, C, nb, K) or (C, nb, K) int32. Returns (payload (cap,) uint8,
+    bits (nt,) int32, total int32)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    nt, c, t = tiles.shape
+    meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
+    words, bits = pc._encode_tiles_pallas(
+        tiles.reshape(nt, c * t), *meta, prior, th, tw, c, W, cfg, interpret
+    )
+    payload, _tb, total = _compact_payload_jit(words, bits, cap)
+    return payload, bits, total
+
+
 def _host_async(arrs) -> None:
     """Start device->host copies for already-dispatched results so the wire
     transfer overlaps whatever the host does next (pipelined serving)."""
@@ -700,14 +749,18 @@ def _host_async(arrs) -> None:
 
 def encode_container_dispatch(
     tiles_host, tile_group, th: int, tw: int, cfg: CodingConfig, nb: int,
-    n_imgs: int, engine: str,
+    n_imgs: int, engine: str, prior_np=None, k0s_host=None,
 ):
     """Async half of the single-dispatch container encode: uploads the tile
     batch, dispatches the fused chain (k0 + prior + Pallas encode + payload
     compaction) and starts the device->host result copies WITHOUT blocking.
     Returns an opaque pending dict for ``encode_container_finish`` or None
     when the fast path is unavailable (non-pallas engine, VMEM-infeasible,
-    prior Mosaic failure)."""
+    prior Mosaic failure).
+
+    ``prior_np``/``k0s_host``: precomputed prior ((nt, C, nb, K) or
+    (C, nb, K)) + its (n_imgs, C, nb) k0 — the 16-bit route where the k0
+    sums need host int64; the chain then skips the on-device k0 pass."""
     from felics_tpu.ops import pallas_codec as pc
 
     nt, c, t = tiles_host.shape
@@ -722,33 +775,132 @@ def encode_container_dispatch(
         return None  # int32 offsets in the compactor
     interpret = not pc.on_tpu()
     tiles_dev = jnp.asarray(tiles_host)
-    tg = jnp.asarray(np.asarray(tile_group, np.int32))
     wtry = pc.width_hint(cfg, t, c)
     if not pc.kernel_plan(cfg, th, tw, c, wtry):
         return None
     cap = payload_cap_hint(cfg, nt, t, c)
+    if prior_np is None:
+        tg = jnp.asarray(np.asarray(tile_group, np.int32))
+        k0 = None
+
+        def redo(W, cp):
+            return _fused_encode_chain(
+                tiles_dev, tg, th, tw, cfg, nb, n_imgs, W, cp, interpret
+            )
+    else:
+        prior_dev = jnp.asarray(prior_np, jnp.int32)
+        k0 = np.asarray(k0s_host)
+
+        def redo(W, cp):
+            pay_, bits_, total_ = _fused_encode_chain_prior(
+                tiles_dev, prior_dev, th, tw, cfg, W, cp, interpret
+            )
+            return pay_, bits_, None, total_  # k0 stays host-side
+
+    return _start_encode_pending(
+        redo, k0, wtry, cap, wcap, th, tw, cfg, nt, c, t, engine, enc_key
+    )
+
+
+def _start_encode_pending(
+    redo, k0_host, wtry, cap, wcap, th, tw, cfg, nt, c, t, engine, enc_key
+):
+    """Run the first fused dispatch, start the async result copies, and
+    package the pending dict shared by every encode-dispatch variant.
+    ``redo(W, cap)`` re-dispatches at new sizing and returns
+    (pay, bits, k0-or-placeholder, total); ``k0_host`` non-None means the
+    k0 values live on the host already."""
     try:
-        pay, bits, k0, total = _fused_encode_chain(
-            tiles_dev, tg, th, tw, cfg, nb, n_imgs, wtry, cap, interpret
-        )
+        pay, bits, k0_dev, total = redo(wtry, cap)
     except Exception as e:
         if engine == "pallas":
             raise
-        # The fused chain also contains plain-XLA stages (k0/prior,
-        # compaction) — a failure here must not condemn the Pallas kernels
-        # themselves. Disable only the fused chain; the caller's split path
-        # retries Pallas standalone and disables the (op, key) there if the
-        # kernel truly fails.
+        # The fused chain also contains plain-XLA stages (k0/prior, image
+        # prep, compaction) — a failure here must not condemn the Pallas
+        # kernels themselves. Disable only the fused chain; the caller's
+        # split path retries Pallas standalone and disables the (op, key)
+        # there if the kernel truly fails.
         _disable_pallas("onepass-encode", enc_key, e)
         return None
-    _host_async((pay, bits, k0, total))
+    _host_async((pay, bits, total) if k0_host is not None
+                else (pay, bits, k0_dev, total))
     return {
-        "tiles_dev": tiles_dev, "tg": tg, "pay": pay, "bits": bits,
-        "k0": k0, "total": total, "wtry": wtry, "cap": cap, "wcap": wcap,
-        "th": th, "tw": tw, "cfg": cfg, "nb": nb, "n_imgs": n_imgs,
-        "engine": engine, "enc_key": enc_key, "interpret": interpret,
+        "redo": redo, "k0_host": k0_host,
+        "pay": pay, "bits": bits, "k0": k0_dev, "total": total,
+        "wtry": wtry, "cap": cap, "wcap": wcap,
+        "th": th, "tw": tw, "cfg": cfg,
+        "engine": engine, "enc_key": enc_key,
         "nt": nt, "c": c, "t": t,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("th", "tw", "cfg", "nb", "n_imgs", "W", "cap",
+                     "interpret", "rgb"),
+)
+def _fused_encode_chain_images(
+    imgs, th: int, tw: int, cfg: CodingConfig, nb: int, n_imgs: int,
+    W: int, cap: int, interpret: bool, rgb: bool,
+):
+    """Raw same-shape image batch -> container payload in ONE dispatch:
+    device-side edge-pad + YCoCg + tile reshape (_image_tiles_device), then
+    the full fused chain. Upload is the images' own narrow dtype (rgb8:
+    3 B/px instead of 6 as int16 planes)."""
+    tiles = _image_tiles_device(imgs, th, tw, rgb)
+    nt = tiles.shape[0]
+    img_of_tile = jnp.repeat(
+        jnp.arange(n_imgs, dtype=jnp.int32), nt // n_imgs
+    )
+    return _fused_encode_chain(
+        tiles, img_of_tile, th, tw, cfg, nb, n_imgs, W, cap, interpret
+    )
+
+
+def encode_images_dispatch(
+    imgs_np: np.ndarray, th: int, tw: int, cfg: CodingConfig, nb: int,
+    engine: str,
+):
+    """Async fused encode of a SAME-SHAPE image batch from raw pixels:
+    upload (N, H, W[, 3]) in the images' own dtype; YCoCg + tiling + k0 +
+    encode + compaction all on device. Returns a pending dict for
+    ``encode_container_finish`` or None (fast path unavailable — caller
+    uses the host-prep path)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    n_imgs = imgs_np.shape[0]
+    h, w = imgs_np.shape[1], imgs_np.shape[2]
+    rgb = imgs_np.ndim == 4
+    c = 3 if rgb else 1
+    t = th * tw
+    ty, tx = -(-h // th), -(-w // tw)
+    nt = n_imgs * ty * tx
+    if nt == 0 or h < th or w < tw or _resolve_engine(engine) != "pallas":
+        return None
+    if not k0_device_exact(cfg, t, ty * tx):
+        return None  # pathological shape: k0 sums not provably exact on device
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if not (_pallas_usable("encode", enc_key)
+            and _pallas_usable("onepass-encode", enc_key)):
+        return None
+    wcap = pc.encode_width_bound(cfg, t, c)
+    if nt * wcap * 4 >= (1 << 31):
+        return None
+    interpret = not pc.on_tpu()
+    wtry = pc.width_hint(cfg, t, c)
+    if not pc.kernel_plan(cfg, th, tw, c, wtry):
+        return None
+    cap = payload_cap_hint(cfg, nt, t, c)
+    imgs_dev = jnp.asarray(np.ascontiguousarray(imgs_np))
+
+    def redo(W, cp):
+        return _fused_encode_chain_images(
+            imgs_dev, th, tw, cfg, nb, n_imgs, W, cp, interpret, rgb
+        )
+
+    return _start_encode_pending(
+        redo, None, wtry, cap, wcap, th, tw, cfg, nt, c, t, engine, enc_key
+    )
 
 
 def encode_container_finish(p):
@@ -762,12 +914,17 @@ def encode_container_finish(p):
     engine, enc_key = p["engine"], p["enc_key"]
     wtry, cap = p["wtry"], p["cap"]
     pay, bits, k0, total = p["pay"], p["bits"], p["k0"], p["total"]
+    host_prior = p["k0_host"] is not None
     # Attempt bound: at most one W escalation + 3 cap retries per W.
     for _attempt in range(8):
         try:
-            bits_np, k0_np, pay_np, total_i = jax.device_get(
-                (bits, k0, pay, total)
-            )
+            if host_prior:
+                bits_np, pay_np, total_i = jax.device_get((bits, pay, total))
+                k0_np = p["k0_host"]
+            else:
+                bits_np, k0_np, pay_np, total_i = jax.device_get(
+                    (bits, k0, pay, total)
+                )
         except Exception as e:
             if engine == "pallas":
                 raise
@@ -790,10 +947,7 @@ def encode_container_finish(p):
         else:
             cap = _bucket_bytes(int(total_i))  # cap overflow: exact retry
         try:
-            pay, bits, k0, total = _fused_encode_chain(
-                p["tiles_dev"], p["tg"], p["th"], p["tw"], cfg, p["nb"],
-                p["n_imgs"], wtry, cap, p["interpret"],
-            )
+            pay, bits, k0, total = p["redo"](wtry, cap)
         except Exception as e:
             if engine == "pallas":
                 raise
@@ -904,6 +1058,97 @@ def decode_container_finish(p):
         _disable_pallas("onepass-decode", p["dec_key"], e)
         return None
     return np.asarray(small_np).astype(np.int32), np.asarray(bad_np)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("th", "tw", "c", "cfg", "wd", "n_imgs", "ty", "tx",
+                     "h", "w", "depth_max", "interpret"),
+)
+def _fused_decode_images_chain(
+    payload_u8, starts, lens, prior, th: int, tw: int, c: int,
+    cfg: CodingConfig, wd: int, n_imgs: int, ty: int, tx: int, h: int,
+    w: int, depth_max: int, interpret: bool,
+):
+    """Same-shape batch: expand + Pallas decode + BATCHED device assembly
+    (vmapped crop/inverse-YCoCg) in one dispatch. The fetch is the final
+    (N, H, W[, 3]) images in their real dtype — for rgb8 that is half the
+    wire of fetching int16 Y/Co/Cg planes, and the host does no assembly
+    work at all. Returns (images, per-image validity flags)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    cols = _expand_columns_jit(payload_u8, starts, lens, wd)
+    meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
+    bufs = pc._decode_tiles_pallas(
+        cols, *meta, prior, th, tw, c, cfg, interpret
+    )
+    bufs = bufs.reshape(n_imgs, ty * tx, c, th * tw)
+    return jax.vmap(
+        lambda b: _assemble_image_body(b, th, tw, c, ty, tx, h, w, depth_max)
+    )(bufs)
+
+
+def decode_images_dispatch(
+    payload: bytes, lens: np.ndarray, th: int, tw: int, c: int,
+    cfg: CodingConfig, prior_np: np.ndarray, tile_group, n_imgs: int,
+    h: int, w: int, engine: str,
+):
+    """Async fused decode of a SAME-SHAPE container batch straight to
+    assembled images on device. Returns a pending dict for
+    ``decode_images_finish`` or None."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    lens = np.asarray(lens, np.int64)
+    nt = lens.shape[0]
+    if nt == 0 or h < th or w < tw or _resolve_engine(engine) != "pallas":
+        return None
+    expected = int(lens.sum())
+    if expected >= (1 << 31):
+        return None
+    ty, tx = -(-h // th), -(-w // tw)
+    wd = pc.bucket_words(int(-(-lens.max(initial=1) // 4)))
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    if not (_pallas_usable("decode", dec_key)
+            and _pallas_usable("onepass-decode", dec_key)
+            and pc.decode_fits(c * th * tw, wd, c, cfg)):
+        return None
+    starts_b = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    if tile_group is None or prior_np.shape[0] == 1:
+        pr = prior_np[0]
+    else:
+        pr = prior_np[np.asarray(tile_group)]
+    pad = _bucket_bytes(expected)
+    buf = np.frombuffer(payload[:expected].ljust(pad, b"\0"), dtype=np.uint8)
+    depth_max = (1 << cfg.depth_bits) - 1
+    try:
+        out, valid = _fused_decode_images_chain(
+            jnp.asarray(buf),
+            jnp.asarray(starts_b, jnp.int32),
+            jnp.asarray(lens, jnp.int32),
+            jnp.asarray(pr),
+            th, tw, c, cfg, wd, n_imgs, ty, tx, h, w, depth_max,
+            not pc.on_tpu(),
+        )
+    except Exception as e:
+        if engine == "pallas":
+            raise
+        _disable_pallas("onepass-decode", dec_key, e)
+        return None
+    _host_async((out, valid))
+    return {"out": out, "valid": valid, "engine": engine, "dec_key": dec_key}
+
+
+def decode_images_finish(p):
+    """Blocking half of decode_images_dispatch: returns
+    (images (N, H, W[, 3]) np in real dtype, valid (N,) bool) or None."""
+    try:
+        out_np, valid_np = jax.device_get((p["out"], p["valid"]))
+    except Exception as e:
+        if p["engine"] == "pallas":
+            raise
+        _disable_pallas("onepass-decode", p["dec_key"], e)
+        return None
+    return np.asarray(out_np), np.asarray(valid_np)
 
 
 def decode_container_onepass(
@@ -1203,7 +1448,7 @@ def compress_tiled_bytes(
     tiles_np, ty, tx = _prepare_tiles(image, base.color_type, th, tw)
 
     nt, c, t = tiles_np.shape
-    if k_prior and k0_device_exact(cfg, nt * t):
+    if k_prior and k0_device_exact(cfg, t, nt):
         # Whole chain on device: k0 -> prior -> encode -> compaction, ONE
         # dispatch + ONE host sync on the fused fast path. Upload in the
         # narrow dtype (2-4x less wire on tunneled hosts).
@@ -1232,6 +1477,25 @@ def compress_tiled_bytes(
     k0 = compute_k0(tiles_np, th, tw, cfg, nb) if k_prior else None
     prior_np = prior_from_k0(k0, cfg, c)  # (C, nb, K); zeros when no prior
 
+    if k_prior:
+        # 16-bit fused route: host-exact k0 feeds the prior-fed fused
+        # chain — same ONE dispatch + ONE sync as the 8-bit path, with the
+        # pixels riding the narrow dtype up.
+        tiles_dev = jnp.asarray(
+            tiles_np.astype(narrow_tile_dtype(cfg.depth_bits, c))
+        )
+        p = encode_container_dispatch(
+            tiles_dev, None, th, tw, cfg, nb, 1, engine,
+            prior_np=prior_np, k0s_host=k0[None],
+        )
+        res = encode_container_finish(p) if p is not None else None
+        if res is not None:
+            tile_bytes_np, payload_b, _k0s = res
+            return pack_tiled_container(
+                base.color_type, base.pixel_depth, w, h, tw, th, ty * tx,
+                tile_bytes_np, payload_b, k0,
+            )
+
     def pack(tile_bytes_np: np.ndarray, payload_b: bytes) -> bytes:
         if not k_prior:  # legacy v0: flags=0, u32 table, no prior block
             return (
@@ -1248,7 +1512,8 @@ def compress_tiled_bytes(
         )
 
     tile_bytes_np, payload_b, _ = encode_tiles_payload(
-        tiles_np, prior_np, cfg, th, tw, engine
+        jnp.asarray(tiles_np.astype(narrow_tile_dtype(cfg.depth_bits, c))),
+        prior_np, cfg, th, tw, engine,
     )
     return pack(tile_bytes_np, payload_b)
 
@@ -1476,12 +1741,12 @@ def _decode_tiles(
     return bufs.reshape(-1, c, t)
 
 
-@partial(jax.jit, static_argnames=("th", "tw", "c", "ty", "tx", "height", "width", "depth_max"))
-def _assemble_image(
+def _assemble_image_body(
     bufs, th: int, tw: int, c: int, ty: int, tx: int, height: int, width: int,
     depth_max: int,
 ):
-    """(n_tiles, C, T) planes -> (H, W[, 3]) pixels + validity flag."""
+    """(n_tiles, C, T) planes -> (H, W[, 3]) pixels + validity flag
+    (traced body — also vmapped over a same-shape image batch)."""
     planes = (
         bufs.reshape(ty, tx, c, th, tw)
         .transpose(2, 0, 3, 1, 4)
@@ -1495,6 +1760,42 @@ def _assemble_image(
     valid = jnp.all((out >= 0) & (out <= depth_max))
     dtype = jnp.uint8 if depth_max == 255 else jnp.uint16
     return out.astype(dtype), valid
+
+
+_assemble_image = jax.jit(
+    _assemble_image_body,
+    static_argnames=("th", "tw", "c", "ty", "tx", "height", "width",
+                     "depth_max"),
+)
+
+
+def _image_tiles_device(imgs, th: int, tw: int, rgb: bool):
+    """(N, H, W[, 3]) narrow-dtype image batch -> (N*ty*tx, C, th*tw) int32
+    tiles ON DEVICE (traced body): edge-pad to tile multiples, YCoCg for
+    RGB, row-major tile reshape — the device mirror of _prepare_tiles, so
+    same-shape batches upload RAW pixels (uint8: 3 B/px for rgb8 instead
+    of 6 as int16 planes) and skip the host transform entirely."""
+    n, h, w = imgs.shape[:3]
+    ph, pw = (-h) % th, (-w) % tw
+    if ph or pw:
+        pad = ((0, 0), (0, ph), (0, pw)) + (
+            ((0, 0),) if imgs.ndim == 4 else ()
+        )
+        imgs = jnp.pad(imgs, pad, mode="edge")
+    hp, wp = h + ph, w + pw
+    ty, tx = hp // th, wp // tw
+    x = imgs.astype(jnp.int32)
+    if rgb:
+        y, co, cg = rgb_to_ycocg(x[..., 0], x[..., 1], x[..., 2], xp=jnp)
+        chans = jnp.stack([y, co, cg], axis=1)  # (N, 3, Hp, Wp)
+    else:
+        chans = x[:, None]
+    c = chans.shape[1]
+    return (
+        chans.reshape(n, c, ty, th, tx, tw)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(n * ty * tx, c, th * tw)
+    )
 
 
 def decode_tiles_bufs(

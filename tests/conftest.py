@@ -20,6 +20,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The persistent compilation cache segfaults while serializing
+# interpret-mode Pallas executables (host callbacks) on this jax build —
+# observed writing _fused_encode_chain_images from test_stream. The CPU
+# suite recompiles cheaply; only the TPU bench benefits from the cache.
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:
+    pass
 
 import numpy as np
 import pytest

@@ -5,10 +5,23 @@ batch i) to overlap wire with compute; output must be byte/pixel-identical
 to the one-shot batched API for every engine.
 """
 
+import jax
 import numpy as np
 import pytest
 
 from felics_tpu.config import TileConfig
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    # Late in the full suite this process holds ~180 tests' worth of
+    # compiled executables; compiling this module's large fused chains on
+    # top of that state sporadically segfaults inside XLA:CPU
+    # backend_compile (observed twice, different chains). Dropping the
+    # accumulated executables first avoids the crash and costs only
+    # recompiles of what this module uses.
+    jax.clear_caches()
+    yield
 from felics_tpu.parallel.batch import (
     compress_tiled_batch,
     compress_tiled_stream,
@@ -61,6 +74,46 @@ def test_stream_depth_one_and_three(rng):
     ref = [compress_tiled_batch(b, TILE16) for b in batches]
     for depth in (1, 3):
         assert compress_tiled_stream(batches, TILE16, depth=depth) == ref
+
+
+@pytest.mark.parametrize("channels", [None, 3])
+def test_same_shape_images_fast_path_bytes_identical(rng, channels):
+    # Same-shape batches take the raw-pixel device path (upload original
+    # dtype, YCoCg/tiling on device; decode assembles on device). Bytes
+    # must equal the host-prep per-image encoder exactly.
+    from felics_tpu.parallel import tiling
+
+    images = [smooth(rng, 64, 48, np.uint8, channels) for _ in range(3)]
+    ref = [tiling.compress_tiled_bytes(im, TILE16, "pallas") for im in images]
+    got = compress_tiled_batch(images, TILE16, "pallas")
+    assert got == ref
+    outs = decompress_tiled_batch(got, "pallas")
+    for im, out in zip(images, outs):
+        np.testing.assert_array_equal(out, im)
+        assert out.dtype == im.dtype
+    # and through the stream
+    assert compress_tiled_stream([images], TILE16, "pallas") == [ref]
+    souts = decompress_tiled_stream([got], "pallas")[0]
+    for im, out in zip(images, souts):
+        np.testing.assert_array_equal(out, im)
+
+
+def test_same_shape_corrupt_batch_raises(rng):
+    # The images fast path validates decoded ranges per image on device.
+    from felics_tpu import errors
+
+    images = [smooth(rng, 48, 48) for _ in range(2)]
+    blobs = compress_tiled_batch(images, TILE16, "pallas")
+    bad = blobs[1][: len(blobs[1]) // 2] + b"\xff" * (
+        len(blobs[1]) - len(blobs[1]) // 2
+    )
+    try:
+        outs = decompress_tiled_batch([blobs[0], bad], "pallas")
+        # tolerated only if the corruption decoded to in-range pixels AND
+        # the first image is still exact
+        np.testing.assert_array_equal(outs[0], images[0])
+    except errors.DecompressionError:
+        pass
 
 
 def test_stream_mixed_geometry_fallback(rng):
