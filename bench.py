@@ -403,10 +403,12 @@ def main():
         rgb, ColorType.RGB, PixelDepth.EIGHT
     )
     rgb_cont, _, _ = container_bench(rgb, engine="auto")
+    rgb_strm, _, _ = stream_bench(rgb, engine="auto", chunk=2)
     g16_mpxs, _, _, g16_ratio, _, _ = tpu_bench(
         g16, ColorType.GRAY, PixelDepth.SIXTEEN
     )
     g16_cont, _, _ = container_bench(g16, engine="auto")
+    g16_strm, _, _ = stream_bench(g16, engine="auto", chunk=2)
 
     flcs_interop_check(images)
     result = {
@@ -420,9 +422,9 @@ def main():
         f"[{strm_mpxs/base_mpxs:.1f}x, enc {s_enc*1e3:.0f}ms "
         f"dec {s_dec*1e3:.0f}ms]; "
         f"rgb8 kernel {rgb_mpxs:.0f} Mpx/s ratio {rgb_ratio:.3f} "
-        f"container {rgb_cont:.1f} Mpx/s; "
+        f"container {rgb_cont:.1f} stream {rgb_strm:.1f} Mpx/s; "
         f"gray16 kernel {g16_mpxs:.0f} Mpx/s ratio {g16_ratio:.3f} "
-        f"container {g16_cont:.1f} Mpx/s; "
+        f"container {g16_cont:.1f} stream {g16_strm:.1f} Mpx/s; "
         f"native-C++-1core baseline {base_mpxs:.1f} Mpx/s)",
         "value": round(mpxs, 2),
         "unit": "Mpx/s",
