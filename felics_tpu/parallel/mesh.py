@@ -235,7 +235,9 @@ def encode_tiled_sharded(
     sharding = NamedSharding(mesh, P(axis, None, None))
     tiles = jax.device_put(jnp.asarray(tiles_np), sharding)
 
-    if tiling._resolve_engine(engine) == "pallas":
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if (tiling._resolve_engine(engine) == "pallas"
+            and tiling._pallas_usable("sharded-encode", enc_key)):
         try:
             interpret = not pc.on_tpu()
             prior_rep = jax.device_put(
@@ -266,10 +268,12 @@ def encode_tiled_sharded(
                         n_tiles, tile_bytes_np, payload, k0,
                     )
             raise ValueError("pallas stream width bound exceeded")
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise
-            # auto: fall through to the XLA engine (same bytes).
+            # auto: fall through to the XLA engine (same bytes), and stop
+            # re-trying this shape (warns once like the container paths).
+            tiling._disable_pallas("sharded-encode", enc_key, e)
 
     prior = jnp.broadcast_to(
         jnp.asarray(prior_np)[None],
@@ -349,7 +353,9 @@ def decode_tiled_sharded(
     )
 
     bufs = None
-    if tiling._resolve_engine(engine) == "pallas":
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    if (tiling._resolve_engine(engine) == "pallas"
+            and tiling._pallas_usable("sharded-decode", dec_key)):
         if engine == "pallas" and not pc.decode_fits(c * th * tw, wd, c, cfg):
             raise ValueError(
                 f"engine='pallas': {th}x{tw} tiles with {c} channel(s) "
@@ -360,9 +366,10 @@ def decode_tiled_sharded(
                 cols, prior_rep, mesh, axis, th, tw, c, cfg, not pc.on_tpu()
             )
             LAST_ENGINE["decode"] = "pallas"
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise
+            tiling._disable_pallas("sharded-decode", dec_key, e)
             bufs = None
     if bufs is None:
         bufs = _shardmap_decode_xla(

@@ -127,7 +127,9 @@ def encode_tiled_multihost(
         tiles_np.shape, sharding, lambda idx: tiles_np[idx]
     )
 
-    if tiling._resolve_engine(engine) == "pallas":
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if (tiling._resolve_engine(engine) == "pallas"
+            and tiling._pallas_usable("sharded-encode", enc_key)):
         try:
             prior_rep = jax.make_array_from_callback(
                 prior_np.shape,
@@ -161,11 +163,13 @@ def encode_tiled_multihost(
                         n_tiles, tile_bytes_np, payload, k0,
                     )
             raise ValueError("pallas stream width bound exceeded")
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise
             # auto: every process falls back together (the engine choice is
-            # a deterministic function of replicated inputs).
+            # a deterministic function of replicated inputs, so the
+            # per-process disable below stays in lockstep too).
+            tiling._disable_pallas("sharded-encode", enc_key, e)
 
     prior = jnp.asarray(prior_np)
     b_pad = worst_case_payload_bits(nt_pad, c, t, cfg)
@@ -248,7 +252,9 @@ def decode_tiled_multihost(
     )
 
     bufs = None
-    if tiling._resolve_engine(engine) == "pallas":
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    if (tiling._resolve_engine(engine) == "pallas"
+            and tiling._pallas_usable("sharded-decode", dec_key)):
         if engine == "pallas" and not pc.decode_fits(c * th * tw, wd, c, cfg):
             raise ValueError(
                 "engine='pallas': tile shape exceeds the VMEM decode plan"
@@ -258,9 +264,10 @@ def decode_tiled_multihost(
                 cols, prior_rep, mesh, axis, th, tw, c, cfg, not pc.on_tpu()
             )
             mesh_mod.LAST_ENGINE["decode"] = "pallas"
-        except Exception:
+        except Exception as e:
             if engine == "pallas":
                 raise
+            tiling._disable_pallas("sharded-decode", dec_key, e)
             bufs = None
     if bufs is None:
         bufs = _shardmap_decode_xla(

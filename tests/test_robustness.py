@@ -111,3 +111,27 @@ def test_flct_batch_header_corruption_raises(rng):
     corrupt = _patch(data, 16, b"\x00\x00")
     with pytest.raises(errors.DecompressionError):
         decompress_tiled_batch([data, corrupt])
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_flct_random_corruption_sweep(rng, engine):
+    """Every random single-byte corruption must either raise a clean
+    DecompressionError or decode without crashing (a payload flip that
+    lands in dead padding may legitimately decode exactly). Mirrors the
+    reference's error-returning decoder contract
+    (src/compression.rs:205-244) across BOTH engines."""
+    from felics_tpu.parallel import tiling
+
+    img = _smooth(rng, 64, 48)
+    data = tiling.compress_tiled_bytes(img, TileConfig(16, 16), engine)
+    with _Alarm(300):
+        for _ in range(20):
+            pos = int(rng.integers(0, len(data)))
+            flip = bytes([data[pos] ^ (1 << int(rng.integers(0, 8)))])
+            bad = _patch(data, pos, flip)
+            try:
+                tiling.decompress_tiled_bytes(bad, engine)
+            except errors.DecompressionError:
+                pass  # clean rejection
+            except ValueError:
+                pass  # explicit-engine VMEM refusal on absurd header dims
