@@ -49,14 +49,16 @@ LAST_ENGINE = {"encode": None, "decode": None}
 
 
 def _shardmap_encode_pallas(
-    tiles_dev, prior_rep, mesh: Mesh, axis: str, th: int, tw: int, c: int,
+    tiles_dev, prior, mesh: Mesh, axis: str, th: int, tw: int, c: int,
     W: int, cfg: CodingConfig, interpret: bool,
 ):
     """Per-shard fused Mosaic encode: each device runs ops.pallas_codec's
     ring-buffered encode kernel on its local tile slice; there is NO
     cross-device traffic inside the kernel (tiles are independent streams).
-    tiles_dev: (Lp, C, T) sharded over ``axis``; prior_rep: (C, nb, K)
-    replicated. Returns (words (Lp, W) uint32 sharded, bits (Lp,) int32)."""
+    tiles_dev: (Lp, C, T) sharded over ``axis``; prior: (C, nb, K)
+    replicated OR (Lp, C, nb, K) per-tile sharded over ``axis`` (a
+    multi-image corpus where each image carries its own k0 prior).
+    Returns (words (Lp, W) uint32 sharded, bits (Lp,) int32)."""
     from felics_tpu.ops import pallas_codec as pc
 
     # Replicate the small metadata tables over the (possibly multi-process)
@@ -66,6 +68,7 @@ def _shardmap_encode_pallas(
         jax.device_put(jnp.asarray(m), NamedSharding(mesh, P()))
         for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)
     ]
+    prior_spec = P() if prior.ndim == 3 else P(axis, None, None, None)
 
     def local(tiles_l, prior_l, *meta_l):
         L = tiles_l.shape[0]
@@ -77,11 +80,11 @@ def _shardmap_encode_pallas(
     f = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(), *([P()] * len(meta))),
+        in_specs=(P(axis, None, None), prior_spec, *([P()] * len(meta))),
         out_specs=(P(axis, None), P(axis)),
         check_vma=False,
     )
-    return f(tiles_dev, prior_rep, *meta)
+    return f(tiles_dev, prior, *meta)
 
 
 def _shardmap_decode_pallas(
@@ -157,14 +160,19 @@ def fused_encode_step(
     """Full FLCT encode as one XLA program: tiles (n_tiles, C, T) int32 →
     (packed bytes uint8[b_pad//8], per-tile byte lengths, total bytes).
 
-    ``prior``: (C, nb, K) int32 per-image k-table seed (None = zeros, the
-    v0 stream). ``b_pad`` bounds total payload bits (caller must guarantee
+    ``prior``: (C, nb, K) int32 per-image k-table seed, or (n_tiles, C,
+    nb, K) per-tile (multi-image corpus), or None = zeros (the v0
+    stream). ``b_pad`` bounds total payload bits (caller must guarantee
     it — the dynamic path in tiling.py sizes it exactly).
     """
     nt, c, _t = tiles.shape
     if prior is None:
         prior = jnp.zeros((c, nb, cfg.num_k), jnp.int32)
-    prior_nt = jnp.broadcast_to(prior[None], (nt, c, nb, cfg.num_k))
+    prior_nt = (
+        prior
+        if prior.ndim == 4
+        else jnp.broadcast_to(prior[None], (nt, c, nb, cfg.num_k))
+    )
     (context, low, oor, residual, in_range, above, qctx) = (
         tiling._tiled_stage1(tiles, th, tw, nb)
     )

@@ -191,6 +191,133 @@ def encode_tiled_multihost(
     )
 
 
+def encode_corpus_multihost(
+    images,
+    tile: Optional[TileConfig] = None,
+    mesh=None,
+    axis: str = "tiles",
+    engine: str = "auto",
+):
+    """FLCT-encode a CORPUS (list of images) with every image's tiles
+    concatenated into one global batch sharded over the multi-process mesh
+    (BASELINE configs[5]: pod-slice encode of a large corpus). Every
+    process passes the same list and receives the same per-image
+    containers, byte-identical to the single-process batch API. Per-image
+    k0 priors ride the tile axis (sharded), so the only cross-device
+    traffic remains the per-tile length bookkeeping."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from felics_tpu.ops import pallas_codec as pc
+    from felics_tpu.parallel import mesh as mesh_mod
+    from felics_tpu.parallel.batch import (
+        _pack_batch_containers,
+        _prep_encode_batch,
+    )
+    from felics_tpu.parallel.mesh import (
+        _shardmap_encode_pallas,
+        fused_encode_step,
+        worst_case_payload_bits,
+    )
+
+    images = list(images)
+    if not images:
+        return []
+    tile = tile or TileConfig()
+    prep = _prep_encode_batch(images, tile)
+    if prep is None:  # mixed clamping: per-image multihost encode
+        return [
+            encode_tiled_multihost(im, tile, mesh, axis, engine)
+            for im in images
+        ]
+    if mesh is None:
+        mesh = global_tile_mesh(axis)
+    th, tw, cfg, nb, c = (
+        prep["th"], prep["tw"], prep["cfg"], prep["nb"], prep["c"]
+    )
+    tiles_np, tile_group, counts = (
+        prep["tiles_np"], prep["tile_group"], prep["counts"]
+    )
+    t = th * tw
+    n_tiles = tiles_np.shape[0]
+    # k0 per image: deterministic host pass -> identical on every process.
+    k0s = tiling.compute_k0_batch(tiles_np, counts, th, tw, cfg, nb)
+    priors_img = tiling.prior_from_k0(k0s, cfg, c)  # (n_imgs, C, nb, K)
+    prior_tiles = priors_img[tile_group]  # (nt, C, nb, K)
+
+    n_dev = mesh.devices.size
+    pad_tiles = (-n_tiles) % n_dev
+    if pad_tiles:
+        tiles_np = np.concatenate(
+            [tiles_np, np.zeros((pad_tiles,) + tiles_np.shape[1:], np.int32)]
+        )
+        prior_tiles = np.concatenate(
+            [prior_tiles, np.zeros((pad_tiles,) + prior_tiles.shape[1:],
+                                   np.int32)]
+        )
+    nt_pad = tiles_np.shape[0]
+
+    tiles = jax.make_array_from_callback(
+        tiles_np.shape,
+        NamedSharding(mesh, P(axis, None, None)),
+        lambda idx: tiles_np[idx],
+    )
+    prior = jax.make_array_from_callback(
+        prior_tiles.shape,
+        NamedSharding(mesh, P(axis, None, None, None)),
+        lambda idx: prior_tiles[idx],
+    )
+
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if (tiling._resolve_engine(engine) == "pallas"
+            and tiling._pallas_usable("sharded-encode", enc_key)):
+        try:
+            for W in dict.fromkeys(
+                [pc.width_hint(cfg, t, c), pc.encode_width_bound(cfg, t, c)]
+            ):
+                if not pc.kernel_plan(cfg, th, tw, c, W):
+                    raise ValueError("VMEM kernel plan infeasible")
+                words, bits = _shardmap_encode_pallas(
+                    tiles, prior, mesh, axis, th, tw, c, W, cfg,
+                    not pc.on_tpu(),
+                )
+                bits_np = np.asarray(
+                    multihost_utils.process_allgather(bits, tiled=True)
+                ).astype(np.int64)[:n_tiles]
+                words_np = np.asarray(
+                    multihost_utils.process_allgather(words, tiled=True)
+                )
+                if int(bits_np.max()) <= W * 32:
+                    pc.observe_width(cfg, t, c, int(bits_np.max()))
+                    lengths = ((bits_np + 7) // 8).astype(np.int64)
+                    payload = tiling._columns_to_payload(
+                        words_np[:n_tiles], lengths
+                    )
+                    mesh_mod.LAST_ENGINE["encode"] = "pallas"
+                    return _pack_batch_containers(prep, lengths, payload, k0s)
+            raise ValueError("pallas stream width bound exceeded")
+        except Exception as e:
+            if engine == "pallas":
+                raise
+            tiling._disable_pallas("sharded-encode", enc_key, e)
+
+    b_pad = worst_case_payload_bits(nt_pad, c, t, cfg)
+    packed, tile_bytes, _total = fused_encode_step(
+        tiles, th, tw, cfg, nb, b_pad, prior
+    )
+    packed_np = np.asarray(
+        multihost_utils.process_allgather(packed, tiled=True)
+    )
+    lengths = np.asarray(
+        multihost_utils.process_allgather(tile_bytes, tiled=True)
+    ).astype(np.int64)[:n_tiles]
+    payload = packed_np[: int(lengths.sum())].tobytes()
+    mesh_mod.LAST_ENGINE["encode"] = "xla"
+    return _pack_batch_containers(prep, lengths, payload, k0s)
+
+
 def decode_tiled_multihost(
     data: bytes,
     mesh=None,

@@ -49,6 +49,23 @@ def main() -> int:
     for eng in ("xla", "pallas"):
         out = multihost.decode_tiled_multihost(data, engine=eng)
         assert np.array_equal(out, img), f"multihost {eng} decode mismatch"
+    # Corpus encode (BASELINE configs[5]): every image's tiles in one
+    # global sharded batch; containers byte-equal to the single-process
+    # batch API.
+    from felics_tpu.parallel.batch import compress_tiled_batch
+
+    rng2 = np.random.default_rng(9)
+    corpus = [
+        np.clip(
+            np.cumsum(np.cumsum(rng2.integers(-6, 7, (48, 32)), 0), 1) + 128,
+            0, 255,
+        ).astype(np.uint8)
+        for _ in range(3)
+    ]
+    blobs = multihost.encode_corpus_multihost(corpus, TileConfig(16, 16))
+    assert blobs == compress_tiled_batch(corpus, TileConfig(16, 16)), (
+        "multihost corpus bytes diverge from the batch API"
+    )
     with open(out_path, "wb") as f:
         f.write(data)
     return 0

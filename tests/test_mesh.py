@@ -93,6 +93,26 @@ def test_sharded_decode_rows_are_sharded(rng):
     np.testing.assert_array_equal(out, img)
 
 
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_corpus_encode_sharded_matches_batch(rng, engine):
+    # BASELINE configs[5]: a corpus (many images) encoded with every tile
+    # sharded over the mesh, per-image k0 priors riding the tile axis.
+    # Single-process here (the 2-process variant runs in the multihost
+    # worker); bytes must equal the serving batch API exactly.
+    from felics_tpu.parallel.batch import compress_tiled_batch
+    from felics_tpu.parallel.multihost import encode_corpus_multihost
+
+    images = [
+        smooth_image(rng, 64, 48),
+        smooth_image(rng, 48, 64),
+        smooth_image(rng, 32, 32),
+    ]
+    ref = compress_tiled_batch(images, TILE16, engine)
+    mesh = make_tile_mesh()
+    got = encode_corpus_multihost(images, TILE16, mesh=mesh, engine=engine)
+    assert got == ref
+
+
 def test_fused_encode_step_matches_dynamic(rng):
     from felics_tpu.config import tiled_config_for_depth
     from felics_tpu.format import ColorType, PixelDepth
