@@ -207,12 +207,17 @@ def _k_select_plan(K: int, depth_bits: int, t: int) -> int:
     """Bits to pack the k index below the cost for a fused single-reduce
     k-selection, or 0 when the packed value could overflow int32.
 
-    Entry bound: a per-(tile, channel) table row sees at most t updates of
-    at most 2^depth + depth + 2 each (FLCT has no count halving;
-    config.tiled_config_for_depth) plus the k-prior seed (<= 4*(K-1)), so
-    (entry << kb) stays below 2^31 whenever the bound does."""
+    Entry bound: a per-(tile, channel) table row sees at most t-2 updates
+    (the preamble pixels never update) of at most max_context + K each —
+    max_context = 2*(2^depth - 1) because the YCoCg chroma planes span
+    (-2^d, 2^d), so a k=0 weight reaches the full context range (an
+    earlier 2^depth-based form understated the chroma case by 2x; FLCT
+    has no count halving, config.tiled_config_for_depth) — plus the
+    k-prior seed (<= 4*(K-1)). (entry << kb) stays below 2^31 whenever
+    the bound does; at t=1024, depth=16, K=15 the bound is 133,968,926 <
+    2^27, so both depths keep the packed form."""
     kb = max(1, (K - 1).bit_length())
-    bound = t * ((1 << depth_bits) + depth_bits + 2) + 4 * K
+    bound = max(0, t - 2) * (2 * (1 << depth_bits) - 2 + K) + 4 * (K - 1)
     return kb if bound < (1 << (31 - kb)) else 0
 
 

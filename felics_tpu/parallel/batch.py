@@ -138,17 +138,23 @@ def _encode_dispatch_images(images, tile: TileConfig, engine: str):
     """Same-shape raw-pixel fast path: stacks the batch and dispatches the
     whole chain (device YCoCg/tiling included) from the images' own dtype.
     Returns (prep_lite, pending) or None. Bytes are identical to the
-    host-prep path (the device tiler mirrors _prepare_tiles exactly)."""
+    host-prep path (the device tiler mirrors _prepare_tiles exactly).
+
+    Every cheap eligibility check runs BEFORE the np.stack batch copy so
+    the common fallback (xla engine, mixed shapes, small images) costs
+    nothing."""
     from felics_tpu.api import header_for_array
 
+    if tiling._resolve_engine(engine) != "pallas":
+        return None
     im0 = images[0]
     if any(im.shape != im0.shape or im.dtype != im0.dtype for im in images):
         return None
-    headers = [header_for_array(im) for im in images]
     th, tw = tile.tile_h, tile.tile_w
-    h, w = headers[0].height, headers[0].width
+    h, w = im0.shape[0], im0.shape[1]
     if h < th or w < tw or h == 0 or w == 0:
         return None
+    headers = [header_for_array(im) for im in images]
     cfg = tiled_config_for_depth(headers[0].pixel_depth)
     nb = num_buckets(cfg)
     p = tiling.encode_images_dispatch(
@@ -344,31 +350,36 @@ def compress_tiled_stream(
     engine: str = "auto",
     depth: int = 2,
 ) -> List[List[bytes]]:
-    """Encode a stream of image batches with up to ``depth`` batches in
-    flight. Returns one list of FLCT containers per input batch,
-    byte-identical to per-batch ``compress_tiled_batch``."""
+    """Encode a stream of image batches with at most ``depth`` batches in
+    flight. ``batches`` is consumed LAZILY (a generator works; only the
+    in-flight batches are held), results arrive in input order. Returns
+    one list of FLCT containers per input batch, byte-identical to
+    per-batch ``compress_tiled_batch``."""
     tile = tile or TileConfig()
-    batches = [list(b) for b in batches]
-    results: List[Optional[List[bytes]]] = [None] * len(batches)
+    results: List[List[bytes]] = []
     pending: deque = deque()
 
-    def finish(idx, prep, p, images):
+    def finish(prep, p, images) -> List[bytes]:
         if prep is None:
-            results[idx] = [
+            return [
                 tiling.compress_tiled_bytes(im, tile, engine) for im in images
             ]
-            return
         res = tiling.encode_container_finish(p) if p is not None else None
         if res is None:
             if "tiles_np" not in prep:  # lite prep (images fast path)
                 prep = _prep_encode_batch(images, tile)
             res = _encode_batch_split(prep, engine)
         lengths, payload, k0s = res
-        results[idx] = _pack_batch_containers(prep, lengths, payload, k0s)
+        return _pack_batch_containers(prep, lengths, payload, k0s)
 
-    for idx, images in enumerate(batches):
+    for images in batches:
+        images = list(images)
+        # Finish the oldest BEFORE dispatching, so at most ``depth``
+        # batches are ever dispatched-and-unfinished.
+        while len(pending) >= depth:
+            results.append(finish(*pending.popleft()))
         if not images:
-            results[idx] = []
+            pending.append((None, None, []))  # keeps ordering trivial
             continue
         fast = _encode_dispatch_images(images, tile, engine)
         if fast is not None:
@@ -376,12 +387,10 @@ def compress_tiled_stream(
         else:
             prep = _prep_encode_batch(images, tile)
             p = _encode_dispatch(prep, engine) if prep is not None else None
-        pending.append((idx, prep, p, images))
-        while len(pending) > depth:
-            finish(*pending.popleft())
+        pending.append((prep, p, images))
     while pending:
-        finish(*pending.popleft())
-    return results  # type: ignore[return-value]
+        results.append(finish(*pending.popleft()))
+    return results
 
 
 def decompress_tiled_stream(
@@ -389,33 +398,31 @@ def decompress_tiled_stream(
     engine: str = "auto",
     depth: int = 2,
 ) -> List[List[np.ndarray]]:
-    """Decode a stream of container batches with up to ``depth`` batches in
-    flight (mirror of compress_tiled_stream)."""
-    batches = [list(b) for b in batches]
-    results: List[Optional[List[np.ndarray]]] = [None] * len(batches)
+    """Decode a stream of container batches with at most ``depth`` batches
+    in flight (lazy mirror of compress_tiled_stream)."""
+    results: List[List[np.ndarray]] = []
     pending: deque = deque()
 
-    def finish(idx, prep, p, datas):
+    def finish(prep, p, datas) -> List[np.ndarray]:
         if prep is None:
-            results[idx] = [
-                tiling.decompress_tiled_bytes(d, engine) for d in datas
-            ]
-            return
+            return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
         if p is not None and "out" in p:  # images fast path
             out = _finish_images_decode(tiling.decode_images_finish(p))
             if out is not None:
-                results[idx] = out
-                return
+                return out
             p = None
         res = tiling.decode_container_finish(p) if p is not None else None
         if res is None:
             res = _decode_batch_split(prep, engine)
         bufs_np, bad_np = res
-        results[idx] = _assemble_batch_images(prep, bufs_np, bad_np)
+        return _assemble_batch_images(prep, bufs_np, bad_np)
 
-    for idx, datas in enumerate(batches):
+    for datas in batches:
+        datas = list(datas)
+        while len(pending) >= depth:
+            results.append(finish(*pending.popleft()))
         if not datas:
-            results[idx] = []
+            pending.append((None, None, []))
             continue
         prep = _prep_decode_batch(datas)
         p = None
@@ -427,9 +434,7 @@ def decompress_tiled_stream(
                     prep["c"], prep["cfg"], prep["priors"],
                     prep["tile_group"], engine,
                 )
-        pending.append((idx, prep, p, datas))
-        while len(pending) > depth:
-            finish(*pending.popleft())
+        pending.append((prep, p, datas))
     while pending:
-        finish(*pending.popleft())
-    return results  # type: ignore[return-value]
+        results.append(finish(*pending.popleft()))
+    return results

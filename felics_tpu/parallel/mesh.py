@@ -117,6 +117,97 @@ def _shardmap_decode_pallas(
     return f(cols_dev, prior_rep, *meta)
 
 
+def sharded_pallas_encode_try(
+    tiles, prior, mesh: Mesh, axis: str, th: int, tw: int, c: int,
+    cfg: CodingConfig, n_tiles: int, engine: str, gather,
+    deterministic_w: bool,
+):
+    """Run the shard-mapped Pallas encode with stream-width sizing; the
+    single implementation behind the sharded and multihost encode paths.
+
+    Returns (lengths int64 (n_tiles,), words_np (n_tiles, W)) on success.
+    Returns None when (a) the per-tile streams exceeded the static width
+    bound — a DATA-dependent condition, not a kernel failure, so callers
+    fall back to the XLA engine (same bytes) without disabling Pallas,
+    matching the container paths; or (b) a kernel failure occurred under
+    engine='auto' (recorded via _disable_pallas). Kernel failures under
+    engine='pallas' raise.
+
+    ``gather(x)``: materialize a (possibly multi-process) sharded array on
+    this host. ``deterministic_w``: use only the static width bound — a
+    multi-process job must pick W in LOCKSTEP, and the width-hint cache is
+    process-local mutable state (an unrelated local encode would desync
+    the shard_map shapes across processes).
+    """
+    from felics_tpu.ops import pallas_codec as pc
+
+    t = th * tw
+    enc_key = (th, tw, c, cfg.pixel_depth)
+    if not tiling._pallas_usable("sharded-encode", enc_key):
+        return None
+    wcap = pc.encode_width_bound(cfg, t, c)
+    widths = (
+        [wcap]
+        if deterministic_w
+        else list(dict.fromkeys([pc.width_hint(cfg, t, c), wcap]))
+    )
+    try:
+        for W in widths:
+            if not pc.kernel_plan(cfg, th, tw, c, W):
+                if engine == "pallas":
+                    raise ValueError(
+                        f"engine='pallas': {th}x{tw}x{c} exceeds the VMEM "
+                        "kernel plan; use engine='xla'/'auto'"
+                    )
+                return None
+            words, bits = _shardmap_encode_pallas(
+                tiles, prior, mesh, axis, th, tw, c, W, cfg, not pc.on_tpu()
+            )
+            bits_np = np.asarray(gather(bits)).astype(np.int64)[:n_tiles]
+            if int(bits_np.max()) <= W * 32:
+                pc.observe_width(cfg, t, c, int(bits_np.max()))
+                words_np = np.asarray(gather(words))[:n_tiles]
+                return ((bits_np + 7) // 8).astype(np.int64), words_np
+        return None  # width overflow: pathological stream -> XLA engine
+    except Exception as e:
+        if engine == "pallas":
+            raise
+        tiling._disable_pallas("sharded-encode", enc_key, e)
+        return None
+
+
+def sharded_decode_bufs(
+    cols, prior_rep, mesh: Mesh, axis: str, th: int, tw: int, c: int,
+    cfg: CodingConfig, nb: int, wd: int, engine: str,
+):
+    """Engine-routed shard-mapped tile decode over per-tile word rows; the
+    single implementation behind the sharded and multihost decode paths.
+    Returns (bufs (Lp, C, T) sharded, engine_used)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    dec_key = (th, tw, c, cfg.pixel_depth, wd)
+    if (tiling._resolve_engine(engine) == "pallas"
+            and tiling._pallas_usable("sharded-decode", dec_key)):
+        if engine == "pallas" and not pc.decode_fits(c * th * tw, wd, c, cfg):
+            raise ValueError(
+                f"engine='pallas': {th}x{tw} tiles with {c} channel(s) "
+                "exceed the VMEM decode plan; use engine='xla'/'auto'"
+            )
+        try:
+            bufs = _shardmap_decode_pallas(
+                cols, prior_rep, mesh, axis, th, tw, c, cfg, not pc.on_tpu()
+            )
+            return bufs, "pallas"
+        except Exception as e:
+            if engine == "pallas":
+                raise
+            tiling._disable_pallas("sharded-decode", dec_key, e)
+    bufs = _shardmap_decode_xla(
+        cols, prior_rep, mesh, axis, th, tw, c, cfg, nb
+    )
+    return bufs, "xla"
+
+
 def _shardmap_decode_xla(
     cols_dev, prior_rep, mesh: Mesh, axis: str, th: int, tw: int, c: int,
     cfg: CodingConfig, nb: int,
@@ -243,45 +334,24 @@ def encode_tiled_sharded(
     sharding = NamedSharding(mesh, P(axis, None, None))
     tiles = jax.device_put(jnp.asarray(tiles_np), sharding)
 
-    enc_key = (th, tw, c, cfg.pixel_depth)
-    if (tiling._resolve_engine(engine) == "pallas"
-            and tiling._pallas_usable("sharded-encode", enc_key)):
-        try:
-            interpret = not pc.on_tpu()
-            prior_rep = jax.device_put(
-                jnp.asarray(prior_np), NamedSharding(mesh, P())
+    if tiling._resolve_engine(engine) == "pallas":
+        prior_rep = jax.device_put(
+            jnp.asarray(prior_np), NamedSharding(mesh, P())
+        )
+        res = sharded_pallas_encode_try(
+            tiles, prior_rep, mesh, axis, th, tw, c, cfg, n_tiles, engine,
+            gather=np.asarray, deterministic_w=False,
+        )
+        if res is not None:
+            tile_bytes_np, words_np = res
+            payload = tiling._columns_to_payload(words_np, tile_bytes_np)
+            LAST_ENGINE["encode"] = "pallas"
+            return tiling.pack_tiled_container(
+                base.color_type, base.pixel_depth, w, h, tw, th,
+                n_tiles, tile_bytes_np, payload, k0,
             )
-            for W in dict.fromkeys(
-                [pc.width_hint(cfg, t, c), pc.encode_width_bound(cfg, t, c)]
-            ):
-                if not pc.kernel_plan(cfg, th, tw, c, W):
-                    raise ValueError(
-                        f"engine='pallas': {th}x{tw}x{c} exceeds the VMEM "
-                        "kernel plan"
-                    )
-                words, bits = _shardmap_encode_pallas(
-                    tiles, prior_rep, mesh, axis, th, tw, c, W, cfg,
-                    interpret,
-                )
-                bits_np = np.asarray(bits).astype(np.int64)[:n_tiles]
-                if int(bits_np.max()) <= W * 32:
-                    pc.observe_width(cfg, t, c, int(bits_np.max()))
-                    tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
-                    payload = tiling._columns_to_payload(
-                        np.asarray(words)[:n_tiles], tile_bytes_np
-                    )
-                    LAST_ENGINE["encode"] = "pallas"
-                    return tiling.pack_tiled_container(
-                        base.color_type, base.pixel_depth, w, h, tw, th,
-                        n_tiles, tile_bytes_np, payload, k0,
-                    )
-            raise ValueError("pallas stream width bound exceeded")
-        except Exception as e:
-            if engine == "pallas":
-                raise
-            # auto: fall through to the XLA engine (same bytes), and stop
-            # re-trying this shape (warns once like the container paths).
-            tiling._disable_pallas("sharded-encode", enc_key, e)
+        # None: width overflow or recorded kernel failure -> XLA engine
+        # (same bytes; engine='pallas' kernel failures raised above).
 
     prior = jnp.broadcast_to(
         jnp.asarray(prior_np)[None],
@@ -360,30 +430,9 @@ def decode_tiled_sharded(
         jnp.asarray(prior_np), NamedSharding(mesh, P())
     )
 
-    bufs = None
-    dec_key = (th, tw, c, cfg.pixel_depth, wd)
-    if (tiling._resolve_engine(engine) == "pallas"
-            and tiling._pallas_usable("sharded-decode", dec_key)):
-        if engine == "pallas" and not pc.decode_fits(c * th * tw, wd, c, cfg):
-            raise ValueError(
-                f"engine='pallas': {th}x{tw} tiles with {c} channel(s) "
-                "exceed the VMEM decode plan; use engine='xla'/'auto'"
-            )
-        try:
-            bufs = _shardmap_decode_pallas(
-                cols, prior_rep, mesh, axis, th, tw, c, cfg, not pc.on_tpu()
-            )
-            LAST_ENGINE["decode"] = "pallas"
-        except Exception as e:
-            if engine == "pallas":
-                raise
-            tiling._disable_pallas("sharded-decode", dec_key, e)
-            bufs = None
-    if bufs is None:
-        bufs = _shardmap_decode_xla(
-            cols, prior_rep, mesh, axis, th, tw, c, cfg, nb
-        )
-        LAST_ENGINE["decode"] = "xla"
+    bufs, LAST_ENGINE["decode"] = sharded_decode_bufs(
+        cols, prior_rep, mesh, axis, th, tw, c, cfg, nb, wd, engine
+    )
     if pad_tiles:
         bufs = bufs[: header.n_tiles]
     depth_max = 255 if int(header.pixel_depth) == 0 else 65535

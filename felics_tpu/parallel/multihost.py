@@ -88,10 +88,8 @@ def encode_tiled_multihost(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from felics_tpu.api import header_for_array
-    from felics_tpu.ops import pallas_codec as pc
     from felics_tpu.parallel import mesh as mesh_mod
     from felics_tpu.parallel.mesh import (
-        _shardmap_encode_pallas,
         fused_encode_step,
         worst_case_payload_bits,
     )
@@ -127,49 +125,28 @@ def encode_tiled_multihost(
         tiles_np.shape, sharding, lambda idx: tiles_np[idx]
     )
 
-    enc_key = (th, tw, c, cfg.pixel_depth)
-    if (tiling._resolve_engine(engine) == "pallas"
-            and tiling._pallas_usable("sharded-encode", enc_key)):
-        try:
-            prior_rep = jax.make_array_from_callback(
-                prior_np.shape,
-                NamedSharding(mesh, P()),
-                lambda idx: prior_np[idx],
+    if tiling._resolve_engine(engine) == "pallas":
+        prior_rep = jax.make_array_from_callback(
+            prior_np.shape,
+            NamedSharding(mesh, P()),
+            lambda idx: prior_np[idx],
+        )
+        # deterministic_w: every process must compile the same W (the
+        # width-hint cache is process-local mutable state); all other
+        # inputs are replicated, so success/fallback stays in lockstep.
+        res = mesh_mod.sharded_pallas_encode_try(
+            tiles, prior_rep, mesh, axis, th, tw, c, cfg, n_tiles, engine,
+            gather=lambda x: multihost_utils.process_allgather(x, tiled=True),
+            deterministic_w=jax.process_count() > 1,
+        )
+        if res is not None:
+            tile_bytes_np, words_np = res
+            payload = tiling._columns_to_payload(words_np, tile_bytes_np)
+            mesh_mod.LAST_ENGINE["encode"] = "pallas"
+            return tiling.pack_tiled_container(
+                base.color_type, base.pixel_depth, w, h, tw, th,
+                n_tiles, tile_bytes_np, payload, k0,
             )
-            for W in dict.fromkeys(
-                [pc.width_hint(cfg, t, c), pc.encode_width_bound(cfg, t, c)]
-            ):
-                if not pc.kernel_plan(cfg, th, tw, c, W):
-                    raise ValueError("VMEM kernel plan infeasible")
-                words, bits = _shardmap_encode_pallas(
-                    tiles, prior_rep, mesh, axis, th, tw, c, W, cfg,
-                    not pc.on_tpu(),
-                )
-                bits_np = np.asarray(
-                    multihost_utils.process_allgather(bits, tiled=True)
-                ).astype(np.int64)[:n_tiles]
-                words_np = np.asarray(
-                    multihost_utils.process_allgather(words, tiled=True)
-                )
-                if int(bits_np.max()) <= W * 32:
-                    pc.observe_width(cfg, t, c, int(bits_np.max()))
-                    tile_bytes_np = ((bits_np + 7) // 8).astype(np.int64)
-                    payload = tiling._columns_to_payload(
-                        words_np[:n_tiles], tile_bytes_np
-                    )
-                    mesh_mod.LAST_ENGINE["encode"] = "pallas"
-                    return tiling.pack_tiled_container(
-                        base.color_type, base.pixel_depth, w, h, tw, th,
-                        n_tiles, tile_bytes_np, payload, k0,
-                    )
-            raise ValueError("pallas stream width bound exceeded")
-        except Exception as e:
-            if engine == "pallas":
-                raise
-            # auto: every process falls back together (the engine choice is
-            # a deterministic function of replicated inputs, so the
-            # per-process disable below stays in lockstep too).
-            tiling._disable_pallas("sharded-encode", enc_key, e)
 
     prior = jnp.asarray(prior_np)
     b_pad = worst_case_payload_bits(nt_pad, c, t, cfg)
@@ -210,14 +187,12 @@ def encode_corpus_multihost(
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from felics_tpu.ops import pallas_codec as pc
     from felics_tpu.parallel import mesh as mesh_mod
     from felics_tpu.parallel.batch import (
         _pack_batch_containers,
         _prep_encode_batch,
     )
     from felics_tpu.parallel.mesh import (
-        _shardmap_encode_pallas,
         fused_encode_step,
         worst_case_payload_bits,
     )
@@ -270,38 +245,17 @@ def encode_corpus_multihost(
         lambda idx: prior_tiles[idx],
     )
 
-    enc_key = (th, tw, c, cfg.pixel_depth)
-    if (tiling._resolve_engine(engine) == "pallas"
-            and tiling._pallas_usable("sharded-encode", enc_key)):
-        try:
-            for W in dict.fromkeys(
-                [pc.width_hint(cfg, t, c), pc.encode_width_bound(cfg, t, c)]
-            ):
-                if not pc.kernel_plan(cfg, th, tw, c, W):
-                    raise ValueError("VMEM kernel plan infeasible")
-                words, bits = _shardmap_encode_pallas(
-                    tiles, prior, mesh, axis, th, tw, c, W, cfg,
-                    not pc.on_tpu(),
-                )
-                bits_np = np.asarray(
-                    multihost_utils.process_allgather(bits, tiled=True)
-                ).astype(np.int64)[:n_tiles]
-                words_np = np.asarray(
-                    multihost_utils.process_allgather(words, tiled=True)
-                )
-                if int(bits_np.max()) <= W * 32:
-                    pc.observe_width(cfg, t, c, int(bits_np.max()))
-                    lengths = ((bits_np + 7) // 8).astype(np.int64)
-                    payload = tiling._columns_to_payload(
-                        words_np[:n_tiles], lengths
-                    )
-                    mesh_mod.LAST_ENGINE["encode"] = "pallas"
-                    return _pack_batch_containers(prep, lengths, payload, k0s)
-            raise ValueError("pallas stream width bound exceeded")
-        except Exception as e:
-            if engine == "pallas":
-                raise
-            tiling._disable_pallas("sharded-encode", enc_key, e)
+    if tiling._resolve_engine(engine) == "pallas":
+        res = mesh_mod.sharded_pallas_encode_try(
+            tiles, prior, mesh, axis, th, tw, c, cfg, n_tiles, engine,
+            gather=lambda x: multihost_utils.process_allgather(x, tiled=True),
+            deterministic_w=jax.process_count() > 1,
+        )
+        if res is not None:
+            lengths, words_np = res
+            payload = tiling._columns_to_payload(words_np, lengths)
+            mesh_mod.LAST_ENGINE["encode"] = "pallas"
+            return _pack_batch_containers(prep, lengths, payload, k0s)
 
     b_pad = worst_case_payload_bits(nt_pad, c, t, cfg)
     packed, tile_bytes, _total = fused_encode_step(
@@ -339,10 +293,6 @@ def decode_tiled_multihost(
     from felics_tpu.format import PixelDepth
     from felics_tpu.ops import pallas_codec as pc
     from felics_tpu.parallel import mesh as mesh_mod
-    from felics_tpu.parallel.mesh import (
-        _shardmap_decode_pallas,
-        _shardmap_decode_xla,
-    )
 
     header = tiling.read_tiled_header(data)
     if header.n_tiles == 0:
@@ -378,29 +328,9 @@ def decode_tiled_multihost(
         prior_np.shape, NamedSharding(mesh, P()), lambda idx: prior_np[idx]
     )
 
-    bufs = None
-    dec_key = (th, tw, c, cfg.pixel_depth, wd)
-    if (tiling._resolve_engine(engine) == "pallas"
-            and tiling._pallas_usable("sharded-decode", dec_key)):
-        if engine == "pallas" and not pc.decode_fits(c * th * tw, wd, c, cfg):
-            raise ValueError(
-                "engine='pallas': tile shape exceeds the VMEM decode plan"
-            )
-        try:
-            bufs = _shardmap_decode_pallas(
-                cols, prior_rep, mesh, axis, th, tw, c, cfg, not pc.on_tpu()
-            )
-            mesh_mod.LAST_ENGINE["decode"] = "pallas"
-        except Exception as e:
-            if engine == "pallas":
-                raise
-            tiling._disable_pallas("sharded-decode", dec_key, e)
-            bufs = None
-    if bufs is None:
-        bufs = _shardmap_decode_xla(
-            cols, prior_rep, mesh, axis, th, tw, c, cfg, nb
-        )
-        mesh_mod.LAST_ENGINE["decode"] = "xla"
+    bufs, mesh_mod.LAST_ENGINE["decode"] = mesh_mod.sharded_decode_bufs(
+        cols, prior_rep, mesh, axis, th, tw, c, cfg, nb, wd, engine
+    )
 
     bufs_np = np.asarray(
         multihost_utils.process_allgather(bufs, tiled=True)

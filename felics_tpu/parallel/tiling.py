@@ -265,12 +265,17 @@ def k0_device_exact(
     """Whether the on-device k0 sums are provably exact.
 
     The device pass (compute_k0_prior_jax) accumulates per-TILE int32
-    partials — bounded by tile_pixels x (2^depth + depth + 2) — then
-    carries them across an image's tiles as 16-bit-split (hi, lo) int32
-    pairs with a lexicographic argmin, exact far past int32. 16-bit
-    images therefore stay on the device path too (pre-r4 they fell back
-    to a host int64 pass that dominated container encode time)."""
-    per_tile = tile_pixels * ((1 << cfg.depth_bits) + cfg.depth_bits + 2)
+    partials, then carries them across an image's tiles as 16-bit-split
+    (hi, lo) int32 pairs with a lexicographic argmin, exact far past
+    int32 — so 16-bit images stay on the device path too (pre-r4 they
+    fell back to a host int64 pass that dominated their encode time).
+
+    Per-update weight bound: the YCoCg chroma planes span (-2^d, 2^d), so
+    a residual reaches max_context - 1 = 2^(d+1) - 3 and the k=0 weight
+    reaches max_context (NOT 2^d — an earlier form understated the chroma
+    case by 2x); at most tile_pixels - 2 coded pixels update a bucket."""
+    max_w = 2 * (1 << cfg.depth_bits) - 2 + cfg.num_k  # + k term at big k
+    per_tile = max(0, tile_pixels - 2) * max_w
     lo_sum = tiles_per_image * ((1 << 16) - 1)
     hi_sum = tiles_per_image * (per_tile >> 16)
     return max(per_tile, lo_sum, hi_sum + (lo_sum >> 16)) < (1 << 31)
@@ -1074,7 +1079,13 @@ def _fused_decode_images_chain(
     (vmapped crop/inverse-YCoCg) in one dispatch. The fetch is the final
     (N, H, W[, 3]) images in their real dtype — for rgb8 that is half the
     wire of fetching int16 Y/Co/Cg planes, and the host does no assembly
-    work at all. Returns (images, per-image validity flags)."""
+    work at all. Returns (images, per-image validity flags).
+
+    Validity matches the split path's plane-level check (_narrow_bufs):
+    RAW decoded plane values outside the per-plane bounds flag the image
+    even when they land in tile padding or happen to inverse-transform
+    back into range — a corrupt container must not be accepted on one
+    internal path and rejected on another."""
     from felics_tpu.ops import pallas_codec as pc
 
     cols = _expand_columns_jit(payload_u8, starts, lens, wd)
@@ -1083,9 +1094,15 @@ def _fused_decode_images_chain(
         cols, *meta, prior, th, tw, c, cfg, interpret
     )
     bufs = bufs.reshape(n_imgs, ty * tx, c, th * tw)
-    return jax.vmap(
+    bound = (1 << cfg.depth_bits) - 1
+    lo = 0 if c == 1 else -bound
+    planes_ok = jnp.all(
+        (bufs >= lo) & (bufs <= bound), axis=(1, 2, 3)
+    )  # (n_imgs,)
+    out, valid = jax.vmap(
         lambda b: _assemble_image_body(b, th, tw, c, ty, tx, h, w, depth_max)
     )(bufs)
+    return out, valid & planes_ok
 
 
 def decode_images_dispatch(
