@@ -113,6 +113,25 @@ def test_flct_batch_header_corruption_raises(rng):
         decompress_tiled_batch([data, corrupt])
 
 
+def test_flcs_jax_random_corruption_sweep(rng):
+    """Random single-bit corruptions of an FLCS payload through the jax
+    scan decoder: every outcome must be a clean DecompressionError or a
+    terminating decode (the r3 hang fix's generalization — one fixed
+    shape, so the compiled scan is reused across all corruptions)."""
+    img = _smooth(rng, 48, 32)
+    data = compress_image_bytes(img, backend="oracle")
+    with _Alarm(300):
+        for _ in range(12):
+            pos = int(rng.integers(14, len(data)))
+            bad = _patch(
+                data, pos, bytes([data[pos] ^ (1 << int(rng.integers(0, 8)))])
+            )
+            try:
+                decompress_image_bytes(bad, backend="jax")
+            except errors.DecompressionError:
+                pass
+
+
 @pytest.mark.parametrize("engine", ["xla", "pallas"])
 def test_flct_random_corruption_sweep(rng, engine):
     """Every random single-byte corruption must either raise a clean
