@@ -40,6 +40,7 @@ from felics_tpu.api import (
     decompress_image,
     compress_image_bytes,
     compress_images_bytes,
+    decompress_images_bytes,
     decompress_image_bytes,
     probe,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "decompress_image",
     "compress_image_bytes",
     "compress_images_bytes",
+    "decompress_images_bytes",
     "decompress_image_bytes",
     "probe",
 ]

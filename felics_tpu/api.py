@@ -204,6 +204,33 @@ def decompress_image(from_: BinaryIO, backend: str = "auto") -> np.ndarray:
     return decompress_image_bytes(from_.read(), backend=backend)
 
 
+def decompress_images_bytes(datas, backend: str = "auto"):
+    """Batched multi-image decode -> list of images (mirror of
+    compress_images_bytes).
+
+    All-FLCT batches route to parallel.batch.decompress_tiled_batch (the
+    fused tile pipeline). All-FLCS batches with the jax backend decode
+    same-shape groups as ONE vmapped scan program (lanes = images). Mixed
+    batches and other backends loop the per-image decoder. Results match
+    per-image ``decompress_image_bytes`` exactly.
+    """
+    datas = list(datas)
+    if not datas:
+        return []
+    if all(d[:4] == b"FLCT" for d in datas) and _flct_backend(backend) != "native":
+        from felics_tpu.parallel.batch import decompress_tiled_batch
+
+        return decompress_tiled_batch(datas)
+    if (
+        _resolve_backend(backend, for_encode=False) == "jax"
+        and all(d[:4] == b"FLCS" for d in datas)
+    ):
+        from felics_tpu.core import jax_codec
+
+        return jax_codec.decompress_images_bytes(datas)
+    return [decompress_image_bytes(d, backend) for d in datas]
+
+
 def decompress_image_bytes(data: bytes, backend: str = "auto") -> np.ndarray:
     if data[:4] == b"FLCT":
         if _flct_backend(backend) == "native":

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import io
 from functools import partial
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -406,9 +406,26 @@ def decode_channel_scan(
     return buf, end_pos
 
 
+def _channels_to_image(channels: List[np.ndarray], header: Header) -> np.ndarray:
+    """Decoded int channel planes -> validated (H, W[, 3]) image."""
+    dtype = _DTYPES[header.pixel_depth]
+    h, w = header.height, header.width
+    if header.color_type == ColorType.GRAY:
+        chan = channels[0]
+        _validate_range(chan, dtype)
+        return chan.astype(dtype).reshape(h, w)
+    r, g, b = ycocg_to_rgb(
+        channels[0].astype(np.int32),
+        channels[1].astype(np.int32),
+        channels[2].astype(np.int32),
+    )
+    for c in (r, g, b):
+        _validate_range(c, dtype)
+    return np.stack([r, g, b], axis=-1).astype(dtype).reshape(h, w, 3)
+
+
 def decompress_image_bytes(data: bytes, header: Header) -> np.ndarray:
     cfg = config_for_depth(header.pixel_depth)
-    dtype = _DTYPES[header.pixel_depth]
     h, w = header.height, header.width
     n = h * w
 
@@ -430,19 +447,74 @@ def decompress_image_bytes(data: bytes, header: Header) -> np.ndarray:
     # like the reference's error-returning reads (src/compression.rs:205-244).
     if int(pos) > payload_bits:
         raise errors.IoError("FLCS payload ended prematurely")
+    return _channels_to_image(channels, header)
 
-    if header.color_type == ColorType.GRAY:
-        chan = channels[0]
-        _validate_range(chan, dtype)
-        return chan.astype(dtype).reshape(h, w)
-    r, g, b = ycocg_to_rgb(
-        channels[0].astype(np.int32),
-        channels[1].astype(np.int32),
-        channels[2].astype(np.int32),
-    )
-    for c in (r, g, b):
-        _validate_range(c, dtype)
-    return np.stack([r, g, b], axis=-1).astype(dtype).reshape(h, w, 3)
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg", "channels"))
+def _decode_images_scan(
+    words_batch, height: int, width: int, cfg: CodingConfig, channels: int
+):
+    """vmapped multi-channel FLCS scan decode: lanes = images (same
+    dims/depth/color; word buffers zero-padded to a shared bucket).
+    Returns ((n_imgs, C, H*W) planes, (n_imgs,) end bit positions)."""
+
+    def one(words):
+        pos = jnp.int32(0)
+        chans = []
+        for _ in range(channels):
+            buf, pos = decode_channel_scan(words, pos, height, width, cfg)
+            chans.append(buf)
+        return jnp.stack(chans), pos
+
+    return jax.vmap(one)(words_batch)
+
+
+def decompress_images_bytes(datas: Sequence[bytes]) -> List[np.ndarray]:
+    """Batched multi-image FLCS decode (mirror of compress_images_bytes):
+    same-shape containers decode as ONE vmapped scan program — lanes =
+    images, so a batch costs one dispatch + one fetch instead of N. Bytes
+    past each image's true payload are zero-padding (never read by a
+    valid stream); per-image end-position and range validation matches
+    the per-image decoder exactly."""
+    from felics_tpu.format import read_header_bytes
+    from felics_tpu.parallel.tiling import _bucket_count
+
+    datas = list(datas)
+    results: List[Optional[np.ndarray]] = [None] * len(datas)
+    groups: dict = {}
+    for idx, data in enumerate(datas):
+        header = read_header_bytes(data)
+        if header.height * header.width < 2:
+            results[idx] = decompress_image_bytes(data, header)
+            continue
+        payload = np.frombuffer(data[14:], dtype=np.uint8)
+        wl = _bucket_count(-(-len(payload) // 4), 64)
+        key = (
+            header.height, header.width, header.color_type,
+            header.pixel_depth, wl,
+        )
+        groups.setdefault(key, []).append((idx, header, payload))
+
+    for (h, w, color, depth, wl), members in groups.items():
+        cfg = config_for_depth(depth)
+        c = 1 if color == ColorType.GRAY else 3
+        wb = np.zeros((len(members), wl), np.uint32)
+        for mi, (_idx, _hd, payload) in enumerate(members):
+            pad = (-len(payload)) % 4
+            pw = np.concatenate([payload, np.zeros(pad, np.uint8)])
+            pw = pw.reshape(-1, 4).astype(np.uint32)
+            words = (pw[:, 0] << 24) | (pw[:, 1] << 16) | (pw[:, 2] << 8) | pw[:, 3]
+            wb[mi, : len(words)] = words
+        bufs, ends = _decode_images_scan(jnp.asarray(wb), h, w, cfg, c)
+        bufs_np, ends_np = jax.device_get((bufs, ends))
+        for mi, (idx, hd, payload) in enumerate(members):
+            if int(ends_np[mi]) > len(payload) * 8:
+                raise errors.IoError("FLCS payload ended prematurely")
+            chans = [
+                np.asarray(bufs_np[mi, ci], dtype=np.int64) for ci in range(c)
+            ]
+            results[idx] = _channels_to_image(chans, hd)
+    return results  # type: ignore[return-value]
 
 
 def _validate_range(chan: np.ndarray, dtype) -> None:

@@ -69,3 +69,51 @@ def test_batched_flct_routing(rng):
         for im in images
     ]
     assert batched == singles
+
+
+def test_batched_decode_matches_per_image(rng):
+    """decompress_images_bytes (vmapped scan, lanes = images) must equal
+    per-image decodes across shapes, depths and colors."""
+    images = [
+        smooth(rng, 24, 16),
+        smooth(rng, 24, 16),                     # same shape: shares a group
+        smooth(rng, 17, 9),
+        smooth(rng, 12, 10, np.uint16),
+        smooth(rng, 14, 11, channels=3),
+        smooth(rng, 8, 8, np.uint16, channels=3),
+    ]
+    blobs = felics_tpu.compress_images_bytes(images, backend="jax")
+    outs = felics_tpu.decompress_images_bytes(blobs, backend="jax")
+    assert len(outs) == len(images)
+    for im, out in zip(images, outs):
+        np.testing.assert_array_equal(out, im)
+        assert out.dtype == im.dtype
+
+
+def test_batched_decode_degenerate_and_corrupt(rng):
+    from felics_tpu import errors
+
+    imgs = [smooth(rng, 1, 1), smooth(rng, 16, 16)]
+    blobs = [felics_tpu.compress_image_bytes(im) for im in imgs]
+    outs = felics_tpu.decompress_images_bytes(blobs, backend="jax")
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, im)
+    # truncated member fails the whole batch with a clean error
+    bad = blobs[1][: 14 + 4]
+    with pytest.raises(errors.DecompressionError):
+        felics_tpu.decompress_images_bytes([blobs[0], bad], backend="jax")
+
+
+def test_batched_decode_flct_routing(rng):
+    imgs = [smooth(rng, 32, 32), smooth(rng, 32, 32)]
+    blobs = felics_tpu.compress_images_bytes(
+        imgs, backend="jax", container="flct"
+    )
+    outs = felics_tpu.decompress_images_bytes(blobs)
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, im)
+    # mixed containers loop per image, still exact
+    mixed = [blobs[0], felics_tpu.compress_image_bytes(imgs[1])]
+    outs = felics_tpu.decompress_images_bytes(mixed)
+    for im, out in zip(imgs, outs):
+        np.testing.assert_array_equal(out, im)
