@@ -32,6 +32,33 @@ except Exception:
 import numpy as np
 import pytest
 
+# Modules that compile interpret-mode Pallas chains. Compiling those on
+# XLA:CPU late in a long-lived process (hundreds of accumulated
+# executables) segfaults sporadically inside backend_compile (observed in
+# test_stream and test_robustness at different call sites; docs/DESIGN.md
+# 7.3). Dropping the accumulated executables at each such module's
+# boundary avoids the crash at the cost of a few recompiles.
+_CLEAR_CACHES_BEFORE = {
+    "test_batch",
+    "test_mesh",
+    "test_more_coverage",
+    "test_pallas_codec",
+    "test_robustness",
+    "test_stream",
+    "test_tiled",
+}
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_between_heavy_modules(request):
+    mod = getattr(request.module, "__name__", "")
+    if mod != _last_module[0]:
+        _last_module[0] = mod
+        if mod in _CLEAR_CACHES_BEFORE:
+            jax.clear_caches()
+    yield
+
 
 @pytest.fixture
 def rng():

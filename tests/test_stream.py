@@ -12,16 +12,9 @@ import pytest
 from felics_tpu.config import TileConfig
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_state():
-    # Late in the full suite this process holds ~180 tests' worth of
-    # compiled executables; compiling this module's large fused chains on
-    # top of that state sporadically segfaults inside XLA:CPU
-    # backend_compile (observed twice, different chains). Dropping the
-    # accumulated executables first avoids the crash and costs only
-    # recompiles of what this module uses.
-    jax.clear_caches()
-    yield
+# NOTE: compile-state hygiene for this module (and the other heavy
+# interpret-Pallas modules) lives in conftest.py
+# (_clear_caches_between_heavy_modules) — see docs/DESIGN.md 7.3.
 from felics_tpu.parallel.batch import (
     compress_tiled_batch,
     compress_tiled_stream,
