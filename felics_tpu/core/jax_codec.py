@@ -285,7 +285,9 @@ def decode_channel_scan(
     width: int,
     cfg: CodingConfig,
 ):
-    """Sequential per-pixel decode as a lax.scan; returns (pixels, end_bit).
+    """Sequential per-pixel decode as a lax.scan; returns
+    (pixels, end_bit, overran) — ``overran`` is True when any unary read
+    ran off the end of the word buffer (corrupt all-ones tail).
 
     One scan step per pixel: peek 64 bits at the cursor, decode the marker +
     phase-in/Rice codeword arithmetically (count-leading-ones for the unary
@@ -310,11 +312,11 @@ def decode_channel_scan(
     def read_unary(pos):
         # Count leading ones from bit position pos, consuming the terminator.
         def cond(state):
-            q, p, done = state
+            q, p, done, hit = state
             return ~done
 
         def body(state):
-            q, p, done = state
+            q, p, done, hit = state
             window = _read_bits(words, p, 32)
             # leading ones = count of leading zeros of the inverted window
             inverted = (~window) & jnp.uint32(0xFFFFFFFF)
@@ -323,21 +325,25 @@ def decode_channel_scan(
             )
             # p >= bit_limit: a corrupt stream whose tail is all-ones ran off
             # the end (the _read_bits gather clamps to the last word, so the
-            # loop would otherwise never see a zero). Stop; the garbage value
-            # is rejected by the end-position/range checks after the scan.
-            # (Reference returns DecompressionError on this path:
-            # src/compression.rs:205-244.)
+            # loop would otherwise never see a zero). Stop AND record the
+            # overrun explicitly: the end-position check alone cannot catch a
+            # word-aligned payload whose runaway lands exactly on
+            # payload_bits. (Reference returns DecompressionError on this
+            # path: src/compression.rs:205-244.)
             finished = (lead < 32) | (p >= bit_limit)
+            hit = hit | ((lead == 32) & finished)
             q = q + lead
             p = p + lead + jnp.where(finished & (lead < 32), 1, 0)
-            return q, p, finished
+            return q, p, finished, hit
 
         q0 = jnp.int32(0)
-        q, p, _ = jax.lax.while_loop(cond, body, (q0, pos, jnp.bool_(False)))
-        return q, p
+        q, p, _, hit = jax.lax.while_loop(
+            cond, body, (q0, pos, jnp.bool_(False), jnp.bool_(False))
+        )
+        return q, p, hit
 
     def step(state, i):
-        pos, table, buf = state
+        pos, table, buf, ov = state
         va = buf[a_idx[i]]
         vb = buf[b_idx[i]]
         h = jnp.maximum(va, vb)
@@ -369,7 +375,7 @@ def decode_channel_scan(
 
         # --- out-of-range branch: second marker bit + Rice ---
         above = _read_bits(words, pos1, 1)
-        q, pos_after_unary = read_unary(pos1 + 1)
+        q, pos_after_unary, unary_hit = read_unary(pos1 + 1)
         rem = _read_bits(words, pos_after_unary, 32) >> (32 - k).astype(jnp.uint32)
         rem = jnp.where(k > 0, rem, 0).astype(jnp.int32)
         encoded = (q << k) + rem
@@ -390,7 +396,11 @@ def decode_channel_scan(
         new_pos = jnp.where(is_in, in_pos, oor_pos)
         table = table.at[ctx].set(new_row)
         buf = buf.at[i].set(value)
-        return (new_pos, table, buf), None
+        # The unary read is speculative on the in-range branch (both
+        # branches execute; jnp.where selects) — only count its overrun
+        # when the out-of-range branch was actually taken.
+        ov = ov | (unary_hit & ~is_in)
+        return (new_pos, table, buf, ov), None
 
     p0 = jnp.int32(start_bit)
     pixel1 = jax.lax.bitcast_convert_type(_read_bits(words, p0, 32), jnp.int32)
@@ -400,10 +410,12 @@ def decode_channel_scan(
     buf = jnp.zeros((n,), jnp.int32).at[0].set(pixel1).at[1].set(pixel2)
     table = jnp.zeros((table_rows, num_k), jnp.int32)
 
-    (end_pos, _, buf), _ = jax.lax.scan(
-        step, (p0 + 64, table, buf), jnp.arange(2, n, dtype=jnp.int32)
+    (end_pos, _, buf, overran), _ = jax.lax.scan(
+        step,
+        (p0 + 64, table, buf, jnp.bool_(False)),
+        jnp.arange(2, n, dtype=jnp.int32),
     )
-    return buf, end_pos
+    return buf, end_pos, overran
 
 
 def _channels_to_image(channels: List[np.ndarray], header: Header) -> np.ndarray:
@@ -439,13 +451,17 @@ def decompress_image_bytes(data: bytes, header: Header) -> np.ndarray:
     payload_bits = (len(data) - 14) * 8
     channels: List[np.ndarray] = []
     pos = 0
+    overran = False
     for _ in range(header.num_channels):
-        buf, pos = decode_channel_scan(words, pos, h, w, cfg)
+        buf, pos, ov = decode_channel_scan(words, pos, h, w, cfg)
+        overran = overran or bool(ov)
         channels.append(np.asarray(buf, dtype=np.int64))
     # A corrupt/truncated stream drives the cursor past the payload (the
     # word gather clamps, so decoding "continues" on garbage); reject it
     # like the reference's error-returning reads (src/compression.rs:205-244).
-    if int(pos) > payload_bits:
+    # ``overran`` additionally catches the word-aligned case where a unary
+    # runaway lands exactly on payload_bits (end check alone passes).
+    if overran or int(pos) > payload_bits:
         raise errors.IoError("FLCS payload ended prematurely")
     return _channels_to_image(channels, header)
 
@@ -456,36 +472,57 @@ def _decode_images_scan(
 ):
     """vmapped multi-channel FLCS scan decode: lanes = images (same
     dims/depth/color; word buffers zero-padded to a shared bucket).
-    Returns ((n_imgs, C, H*W) planes, (n_imgs,) end bit positions)."""
+    Returns ((n_imgs, C, H*W) planes, (n_imgs,) end bit positions,
+    (n_imgs,) unary-overrun flags)."""
 
     def one(words):
         pos = jnp.int32(0)
+        ov = jnp.bool_(False)
         chans = []
         for _ in range(channels):
-            buf, pos = decode_channel_scan(words, pos, height, width, cfg)
+            buf, pos, ov_c = decode_channel_scan(words, pos, height, width, cfg)
+            ov = ov | ov_c
             chans.append(buf)
-        return jnp.stack(chans), pos
+        return jnp.stack(chans), pos, ov
 
     return jax.vmap(one)(words_batch)
 
 
-def decompress_images_bytes(datas: Sequence[bytes]) -> List[np.ndarray]:
+def decompress_images_bytes(
+    datas: Sequence[bytes], on_error: str = "raise"
+) -> List:
     """Batched multi-image FLCS decode (mirror of compress_images_bytes):
     same-shape containers decode as ONE vmapped scan program — lanes =
     images, so a batch costs one dispatch + one fetch instead of N. Bytes
     past each image's true payload are zero-padding (never read by a
     valid stream); per-image end-position and range validation matches
-    the per-image decoder exactly."""
+    the per-image decoder exactly.
+
+    ``on_error="raise"`` (default): any corrupt member raises, matching
+    ``decompress_image_bytes``. ``on_error="isolate"``: members decode or
+    fail independently — the returned list holds the image per good member
+    and the ``DecompressionError`` instance per bad one (per-image
+    validation already runs per lane, so good members cost nothing extra;
+    VERDICT r4 item 4)."""
     from felics_tpu.format import read_header_bytes
     from felics_tpu.parallel.tiling import _bucket_count
 
+    if on_error not in ("raise", "isolate"):
+        raise ValueError("on_error must be 'raise' or 'isolate'")
+    isolate = on_error == "isolate"
     datas = list(datas)
-    results: List[Optional[np.ndarray]] = [None] * len(datas)
+    results: List = [None] * len(datas)
     groups: dict = {}
     for idx, data in enumerate(datas):
-        header = read_header_bytes(data)
-        if header.height * header.width < 2:
-            results[idx] = decompress_image_bytes(data, header)
+        try:
+            header = read_header_bytes(data)
+            if header.height * header.width < 2:
+                results[idx] = decompress_image_bytes(data, header)
+                continue
+        except errors.DecompressionError as e:
+            if not isolate:
+                raise
+            results[idx] = e
             continue
         payload = np.frombuffer(data[14:], dtype=np.uint8)
         wl = _bucket_count(-(-len(payload) // 4), 64)
@@ -505,16 +542,22 @@ def decompress_images_bytes(datas: Sequence[bytes]) -> List[np.ndarray]:
             pw = pw.reshape(-1, 4).astype(np.uint32)
             words = (pw[:, 0] << 24) | (pw[:, 1] << 16) | (pw[:, 2] << 8) | pw[:, 3]
             wb[mi, : len(words)] = words
-        bufs, ends = _decode_images_scan(jnp.asarray(wb), h, w, cfg, c)
-        bufs_np, ends_np = jax.device_get((bufs, ends))
+        bufs, ends, ovs = _decode_images_scan(jnp.asarray(wb), h, w, cfg, c)
+        bufs_np, ends_np, ovs_np = jax.device_get((bufs, ends, ovs))
         for mi, (idx, hd, payload) in enumerate(members):
-            if int(ends_np[mi]) > len(payload) * 8:
-                raise errors.IoError("FLCS payload ended prematurely")
-            chans = [
-                np.asarray(bufs_np[mi, ci], dtype=np.int64) for ci in range(c)
-            ]
-            results[idx] = _channels_to_image(chans, hd)
-    return results  # type: ignore[return-value]
+            try:
+                if bool(ovs_np[mi]) or int(ends_np[mi]) > len(payload) * 8:
+                    raise errors.IoError("FLCS payload ended prematurely")
+                chans = [
+                    np.asarray(bufs_np[mi, ci], dtype=np.int64)
+                    for ci in range(c)
+                ]
+                results[idx] = _channels_to_image(chans, hd)
+            except errors.DecompressionError as e:
+                if not isolate:
+                    raise
+                results[idx] = e
+    return results
 
 
 def _validate_range(chan: np.ndarray, dtype) -> None:

@@ -79,6 +79,9 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.fel_free.restype = None
     lib.fel_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "fel_last_error"):  # older prebuilt .so may lack it
+        lib.fel_last_error.restype = ctypes.c_char_p
+        lib.fel_last_error.argtypes = []
     lib.fel_compress_tiled.restype = ctypes.c_int
     lib.fel_compress_tiled.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
@@ -144,8 +147,18 @@ def available() -> bool:
 
 
 def _raise(code: int) -> None:
+    """Map a native status code to the exception hierarchy, carrying the
+    core's per-thread failure detail (fel_last_error, e.g. "FLCT tile
+    table truncated") so callers see WHAT failed, not just a code —
+    mirroring the reference's descriptive DecompressionError variants
+    (src/compression/error.rs:4-19)."""
     exc = _ERROR_MAP.get(code, errors.DecompressionError)
-    raise exc(f"native codec error {code}")
+    detail = ""
+    if _lib is not None and hasattr(_lib, "fel_last_error"):
+        raw = _lib.fel_last_error()
+        if raw:
+            detail = raw.decode("utf-8", errors="replace")
+    raise exc(detail or f"native codec error {code}")
 
 
 def compress(image: np.ndarray, header: Header) -> bytes:

@@ -217,6 +217,12 @@ def _prep_decode_batch(datas: Sequence[bytes]):
 
     cfg = tiled_config_for_depth(h0.pixel_depth)
     th, tw, c = h0.tile_h, h0.tile_w, h0.num_channels
+    # A short payload must fail here exactly like the per-image path
+    # (tiling.decompress_tiled_bytes) — the concatenation below would
+    # otherwise zero-pad the truncated stream and decode wrong pixels.
+    for d, h in zip(datas, headers):
+        if len(d) - h.payload_off < int(h.tile_lengths.sum()):
+            raise errors.IoError("truncated FLCT payload")
     # Exact per-tile stream concatenation (container payloads may carry
     # trailing bytes; slice each to its tile-table total).
     payload = b"".join(
@@ -241,18 +247,23 @@ def _prep_decode_batch(datas: Sequence[bytes]):
     }
 
 
-def _assemble_batch_images(prep, bufs_np, bad_np) -> List[np.ndarray]:
+def _assemble_batch_images(prep, bufs_np, bad_np, isolate: bool = False):
     th, tw, c = prep["th"], prep["tw"], prep["c"]
     depth_max = (1 << prep["depth_bits"]) - 1
-    out: List[np.ndarray] = []
+    out: List = []
     t0 = 0
     for h in prep["headers"]:
         ty = -(-h.height // th)
         tx = -(-h.width // tw)
         if bad_np is not None and bad_np[t0 : t0 + h.n_tiles].any():
-            raise errors.InvalidValue(
+            exc = errors.InvalidValue(
                 "decoded value does not fit the pixel depth"
             )
+            if not isolate:
+                raise exc
+            out.append(exc)  # per-tile flags isolate the bad image
+            t0 += h.n_tiles
+            continue
         sub = bufs_np[t0 : t0 + h.n_tiles]
         out.append(
             tiling.assemble_image_np(
@@ -290,26 +301,40 @@ def _decode_dispatch_images(prep, engine: str):
     )
 
 
-def _finish_images_decode(r) -> Optional[List[np.ndarray]]:
+def _finish_images_decode(r, isolate: bool = False) -> Optional[List]:
     if r is None:
         return None
     out_np, valid_np = r
+    if isolate:  # per-image validity flags -> per-image failures
+        return [
+            out_np[i]
+            if valid_np[i]
+            else errors.InvalidValue(
+                "decoded value does not fit the pixel depth"
+            )
+            for i in range(out_np.shape[0])
+        ]
     if not valid_np.all():
         raise errors.InvalidValue("decoded value does not fit the pixel depth")
     return [out_np[i] for i in range(out_np.shape[0])]
 
 
-def decompress_tiled_batch(
-    datas: Sequence[bytes], engine: str = "auto"
-) -> List[np.ndarray]:
-    if not datas:
-        return []
+def _decompress_one_isolated(d: bytes, engine: str):
+    try:
+        return tiling.decompress_tiled_bytes(d, engine)
+    except errors.DecompressionError as e:
+        return e
+
+
+def _decode_batch_impl(datas: Sequence[bytes], engine: str, isolate: bool):
     prep = _prep_decode_batch(datas)
     if prep is None:
+        if isolate:
+            return [_decompress_one_isolated(d, engine) for d in datas]
         return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
     p = _decode_dispatch_images(prep, engine)
     if p is not None:
-        out = _finish_images_decode(tiling.decode_images_finish(p))
+        out = _finish_images_decode(tiling.decode_images_finish(p), isolate)
         if out is not None:
             return out
     # Fused single-dispatch chain (expand + decode + clamp/narrow on
@@ -328,7 +353,50 @@ def decompress_tiled_batch(
         bufs_np, bad_np = res
     else:
         bufs_np, bad_np = _decode_batch_split(prep, engine)
-    return _assemble_batch_images(prep, bufs_np, bad_np)
+    return _assemble_batch_images(prep, bufs_np, bad_np, isolate)
+
+
+def decompress_tiled_batch(
+    datas: Sequence[bytes], engine: str = "auto", on_error: str = "raise"
+) -> List:
+    """Decode a batch of FLCT containers.
+
+    ``on_error="raise"`` (default): any corrupt member raises, matching the
+    per-image API. ``on_error="isolate"``: each member decodes or fails
+    independently — the returned list holds an ``np.ndarray`` per good
+    member and the ``DecompressionError`` instance per bad one, so one
+    corrupt blob cannot discard the rest of a serving batch (the reference
+    decodes images independently by construction; VERDICT r4 item 4)."""
+    if on_error not in ("raise", "isolate"):
+        raise ValueError("on_error must be 'raise' or 'isolate'")
+    if not datas:
+        return []
+    if on_error == "raise":
+        return _decode_batch_impl(datas, engine, False)
+    # Cheap host-side validation first: members with corrupt headers /
+    # truncated payloads get their exception; the rest keep the fused
+    # batch path (one device program for the survivors).
+    results: List = [None] * len(datas)
+    good_idx: List[int] = []
+    for i, d in enumerate(datas):
+        try:
+            h = tiling.read_tiled_header(d)
+            if len(d) - h.payload_off < int(h.tile_lengths.sum()):
+                raise errors.IoError("truncated FLCT payload")
+            good_idx.append(i)
+        except errors.DecompressionError as e:
+            results[i] = e
+    if good_idx:
+        good = [datas[i] for i in good_idx]
+        try:
+            decoded = _decode_batch_impl(good, engine, True)
+        except errors.DecompressionError:
+            # Residual whole-batch failure (no per-image attribution):
+            # decode the survivors independently.
+            decoded = [_decompress_one_isolated(d, engine) for d in good]
+        for i, r in zip(good_idx, decoded):
+            results[i] = r
+    return results
 
 
 # ---------------------------------------------------------------------------

@@ -173,6 +173,18 @@ def sharded_pallas_encode_try(
         if engine == "pallas":
             raise
         tiling._disable_pallas("sharded-encode", enc_key, e)
+        if jax.process_count() > 1:
+            # A FRESH Mosaic failure mid-flight in a process group: peers
+            # that succeeded are already inside the collectives, so a local
+            # XLA fallback would desync/hang the job. Fail loudly instead
+            # (the pre-flight _agree_pallas handles the divergent-cache
+            # case; identical toolchains make a subset-only compile
+            # failure pathological).
+            raise RuntimeError(
+                "felics_tpu: Mosaic encode failure inside a multi-process "
+                "group under engine='auto'; rerun with engine='xla' (a "
+                "local fallback would desync the collectives)"
+            ) from e
         return None
 
 
@@ -202,6 +214,13 @@ def sharded_decode_bufs(
             if engine == "pallas":
                 raise
             tiling._disable_pallas("sharded-decode", dec_key, e)
+            if jax.process_count() > 1:
+                raise RuntimeError(
+                    "felics_tpu: Mosaic decode failure inside a "
+                    "multi-process group under engine='auto'; rerun with "
+                    "engine='xla' (a local fallback would desync the "
+                    "collectives)"
+                ) from e
     bufs = _shardmap_decode_xla(
         cols, prior_rep, mesh, axis, th, tw, c, cfg, nb
     )

@@ -66,6 +66,28 @@ def global_tile_mesh(axis: str = "tiles"):
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
+def _agree_pallas(local_ok: bool) -> bool:
+    """Multi-process engine agreement under ``engine='auto'``.
+
+    Every process must take the same pallas-vs-xla branch — the shard_map
+    collectives desync (and the job hangs) otherwise. The
+    ``tiling._pallas_disabled`` cache is PROCESS-LOCAL mutable state: one
+    process may have recorded a Mosaic failure in earlier unrelated work
+    while its peers did not. So the decision is allgathered and ANDed
+    before committing: if any process cannot run Pallas, all fall back to
+    the XLA engine (same bytes). Single-process: the local decision."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return local_ok
+    from jax.experimental import multihost_utils
+
+    ok = multihost_utils.process_allgather(
+        np.asarray([1 if local_ok else 0], np.int32)
+    )
+    return bool(np.min(ok))
+
+
 def encode_tiled_multihost(
     image: np.ndarray,
     tile: Optional[TileConfig] = None,
@@ -125,7 +147,14 @@ def encode_tiled_multihost(
         tiles_np.shape, sharding, lambda idx: tiles_np[idx]
     )
 
-    if tiling._resolve_engine(engine) == "pallas":
+    use_pallas = tiling._resolve_engine(engine) == "pallas"
+    if use_pallas and engine != "pallas":
+        # 'auto' in a process group: agree on the engine BEFORE the
+        # collectives (the per-process _pallas_disabled cache may diverge).
+        use_pallas = _agree_pallas(
+            tiling._pallas_usable("sharded-encode", (th, tw, c, cfg.pixel_depth))
+        )
+    if use_pallas:
         prior_rep = jax.make_array_from_callback(
             prior_np.shape,
             NamedSharding(mesh, P()),
@@ -245,7 +274,12 @@ def encode_corpus_multihost(
         lambda idx: prior_tiles[idx],
     )
 
-    if tiling._resolve_engine(engine) == "pallas":
+    use_pallas = tiling._resolve_engine(engine) == "pallas"
+    if use_pallas and engine != "pallas":
+        use_pallas = _agree_pallas(
+            tiling._pallas_usable("sharded-encode", (th, tw, c, cfg.pixel_depth))
+        )
+    if use_pallas:
         res = mesh_mod.sharded_pallas_encode_try(
             tiles, prior, mesh, axis, th, tw, c, cfg, n_tiles, engine,
             gather=lambda x: multihost_utils.process_allgather(x, tiled=True),
@@ -328,8 +362,15 @@ def decode_tiled_multihost(
         prior_np.shape, NamedSharding(mesh, P()), lambda idx: prior_np[idx]
     )
 
+    eng = engine
+    if tiling._resolve_engine(engine) == "pallas" and engine != "pallas":
+        ok = tiling._pallas_usable(
+            "sharded-decode", (th, tw, c, cfg.pixel_depth, wd)
+        ) and pc.decode_fits(c * th * tw, wd, c, cfg)
+        if not _agree_pallas(ok):
+            eng = "xla"
     bufs, mesh_mod.LAST_ENGINE["decode"] = mesh_mod.sharded_decode_bufs(
-        cols, prior_rep, mesh, axis, th, tw, c, cfg, nb, wd, engine
+        cols, prior_rep, mesh, axis, th, tw, c, cfg, nb, wd, eng
     )
 
     bufs_np = np.asarray(

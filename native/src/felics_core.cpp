@@ -20,6 +20,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <functional>
@@ -48,6 +49,34 @@ constexpr int kColorRgb = 1;
 constexpr int kDepth8 = 0;
 constexpr int kDepth16 = 1;
 constexpr size_t kHeaderSize = 14;
+
+// ---------------------------------------------------------------------------
+// Last-error detail (analog of the reference's DecompressionError variants,
+// src/compression/error.rs:4-19): every error-return site records WHAT
+// failed, and fel_last_error() surfaces it through the C ABI so the Python
+// exception says e.g. "FLCT tile table truncated" instead of a bare code.
+// Thread-local so concurrent callers cannot clobber each other; tile worker
+// threads report through per-tile status codes, translated at the join.
+// ---------------------------------------------------------------------------
+thread_local char g_err[192] = "";
+
+inline int fel_fail(int code, const char* msg) {
+  std::snprintf(g_err, sizeof(g_err), "%s", msg);
+  return code;
+}
+
+inline const char* code_detail(int code) {
+  switch (code) {
+    case FEL_EIO:
+      return "tile stream ended prematurely";
+    case FEL_EINVALID_VALUE:
+      return "decoded value out of range";
+    case FEL_EOVERFLOW:
+      return "arithmetic overflow on a decoded value";
+    default:
+      return "decode failed";
+  }
+}
 
 struct CodingParams {
   uint32_t max_context;
@@ -368,7 +397,8 @@ int decompress_channel(uint32_t width, uint32_t height,
                        const uint32_t* prior = nullptr) {
   int32_t pixel1, pixel2;
   uint32_t raw1, raw2;
-  if (!src.get(pre_bits, &raw1) || !src.get(pre_bits, &raw2)) return FEL_EIO;
+  if (!src.get(pre_bits, &raw1) || !src.get(pre_bits, &raw2))
+    return fel_fail(FEL_EIO, "channel preamble (first two pixels) truncated");
   if (pre_bits == 32) {
     pixel1 = static_cast<int32_t>(raw1);
     pixel2 = static_cast<int32_t>(raw2);
@@ -398,29 +428,37 @@ int decompress_channel(uint32_t width, uint32_t height,
     const int32_t l = v1 < v2 ? v1 : v2;
     const int64_t context64 = static_cast<int64_t>(h) - l;
     if (context64 < 0 || context64 > params.max_context)
-      return FEL_EINVALID_VALUE;  // corrupt stream drove values out of range
+      return fel_fail(FEL_EINVALID_VALUE,
+                      "neighbour context out of range (corrupt stream)");
     const uint32_t context = static_cast<uint32_t>(context64);
 
     uint32_t first;
-    if (!src.get_bit(&first)) return FEL_EIO;
+    if (!src.get_bit(&first))
+      return fel_fail(FEL_EIO, "stream ended at a range-marker bit");
     int64_t value;
     if (first) {
       uint32_t p;
-      if (!PhaseIn(context + 1).decode(src, &p)) return FEL_EIO;
+      if (!PhaseIn(context + 1).decode(src, &p))
+        return fel_fail(FEL_EIO, "stream ended inside a phase-in codeword");
       value = static_cast<int64_t>(p) + l;
     } else {
       uint32_t above;
-      if (!src.get_bit(&above)) return FEL_EIO;
+      if (!src.get_bit(&above))
+        return fel_fail(FEL_EIO, "stream ended at the out-of-range sign bit");
       const uint32_t kctx = k_context(context, bucketed_k);
       const uint32_t k = estimator.get_k(kctx);
       uint32_t encoded;
-      if (!rice_decode(src, k, &encoded)) return FEL_EIO;
+      if (!rice_decode(src, k, &encoded))
+        return fel_fail(FEL_EIO, "stream ended inside a Rice codeword");
       estimator.update(kctx, encoded);
-      if (encoded > 0x7FFFFFFFu) return FEL_EINVALID_VALUE;
+      if (encoded > 0x7FFFFFFFu)
+        return fel_fail(FEL_EINVALID_VALUE,
+                        "Rice codeword exceeds the value range");
       value = above ? static_cast<int64_t>(encoded) + h + 1
                     : static_cast<int64_t>(l) - encoded - 1;
     }
-    if (value < INT32_MIN || value > INT32_MAX) return FEL_EOVERFLOW;
+    if (value < INT32_MIN || value > INT32_MAX)
+      return fel_fail(FEL_EOVERFLOW, "decoded value overflows int32");
     out[i] = static_cast<int32_t>(value);
   }
   return FEL_OK;
@@ -464,12 +502,15 @@ void write_header(std::vector<uint8_t>& out, int color, int depth,
 
 int read_header(const uint8_t* data, size_t len, int* color, int* depth,
                 uint32_t* width, uint32_t* height) {
-  if (len < kHeaderSize) return FEL_EIO;
-  if (memcmp(data, "FLCS", 4) != 0) return FEL_ESIGNATURE;
+  if (len < kHeaderSize) return fel_fail(FEL_EIO, "FLCS header truncated");
+  if (memcmp(data, "FLCS", 4) != 0)
+    return fel_fail(FEL_ESIGNATURE, "not a FLCS file (bad signature)");
   *color = data[4];
   *depth = data[5];
-  if (*color != kColorGray && *color != kColorRgb) return FEL_ECOLOR_TYPE;
-  if (*depth != kDepth8 && *depth != kDepth16) return FEL_EPIXEL_DEPTH;
+  if (*color != kColorGray && *color != kColorRgb)
+    return fel_fail(FEL_ECOLOR_TYPE, "FLCS header: unknown color type");
+  if (*depth != kDepth8 && *depth != kDepth16)
+    return fel_fail(FEL_EPIXEL_DEPTH, "FLCS header: unknown pixel depth");
   *width = (static_cast<uint32_t>(data[6]) << 24) |
            (static_cast<uint32_t>(data[7]) << 16) |
            (static_cast<uint32_t>(data[8]) << 8) | data[9];
@@ -488,6 +529,11 @@ extern "C" {
 
 const char* fel_version() { return "felics_core 0.1.0"; }
 
+// Detail string for the calling thread's most recent error return (empty
+// if the last call succeeded or predates this export). Valid until the
+// same thread's next felics call.
+const char* fel_last_error() { return g_err; }
+
 // FLCT context-bucket cap. Must equal felics_tpu.config.QCTX_CAP — the
 // Python runtime asserts this at library load so the two constants cannot
 // silently drift (they define the FLCT bitstream).
@@ -500,11 +546,12 @@ int fel_compress(const int32_t* pixels, uint32_t width, uint32_t height,
                  int color_type, int pixel_depth, uint8_t** out,
                  size_t* out_len) {
   if (color_type != kColorGray && color_type != kColorRgb)
-    return FEL_ECOLOR_TYPE;
+    return fel_fail(FEL_ECOLOR_TYPE, "unsupported color type");
   if (pixel_depth != kDepth8 && pixel_depth != kDepth16)
-    return FEL_EPIXEL_DEPTH;
+    return fel_fail(FEL_EPIXEL_DEPTH, "unsupported pixel depth");
   const uint64_t total64 = static_cast<uint64_t>(width) * height;
-  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  if (total64 > (1ull << 31))
+    return fel_fail(FEL_EDIMENSIONS, "image exceeds 2^31 pixels");
   const size_t total = static_cast<size_t>(total64);
   const CodingParams params = params_for_depth(pixel_depth);
 
@@ -527,7 +574,7 @@ int fel_compress(const int32_t* pixels, uint32_t width, uint32_t height,
   sink.byte_align();
 
   uint8_t* result = static_cast<uint8_t*>(malloc(buf.size() ? buf.size() : 1));
-  if (!result) return FEL_ENOMEM;
+  if (!result) return fel_fail(FEL_ENOMEM, "out of memory");
   memcpy(result, buf.data(), buf.size());
   *out = result;
   *out_len = buf.size();
@@ -542,7 +589,8 @@ int fel_decompress(const uint8_t* data, size_t len, int32_t** out_pixels,
   int status = read_header(data, len, &color, &depth, &w, &h);
   if (status != FEL_OK) return status;
   const uint64_t total64 = static_cast<uint64_t>(w) * h;
-  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  if (total64 > (1ull << 31))
+    return fel_fail(FEL_EDIMENSIONS, "image exceeds 2^31 pixels");
   const size_t total = static_cast<size_t>(total64);
   const CodingParams params = params_for_depth(depth);
   const int nchan = color == kColorGray ? 1 : 3;
@@ -553,14 +601,15 @@ int fel_decompress(const uint8_t* data, size_t len, int32_t** out_pixels,
 
   int32_t* result =
       static_cast<int32_t*>(malloc(total ? total * nchan * sizeof(int32_t) : 4));
-  if (!result) return FEL_ENOMEM;
+  if (!result) return fel_fail(FEL_ENOMEM, "out of memory");
 
   if (color == kColorGray) {
     status = decompress_channel(w, h, params, src, result);
     if (status == FEL_OK) {
       for (size_t i = 0; i < total; ++i)
         if (result[i] < lo || result[i] > hi) {
-          status = FEL_EINVALID_VALUE;
+          status = fel_fail(FEL_EINVALID_VALUE,
+                            "decoded pixel does not fit the pixel depth");
           break;
         }
     }
@@ -574,7 +623,8 @@ int fel_decompress(const uint8_t* data, size_t len, int32_t** out_pixels,
         int32_t r, g, b;
         to_rgb(y[i], co[i], cg[i], &r, &g, &b);
         if (r < lo || r > hi || g < lo || g > hi || b < lo || b > hi) {
-          status = FEL_EINVALID_VALUE;
+          status = fel_fail(FEL_EINVALID_VALUE,
+                            "decoded pixel does not fit the pixel depth");
           break;
         }
         result[3 * i] = r;
@@ -678,9 +728,9 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
                        uint16_t tile_h, int n_threads, uint8_t** out,
                        size_t* out_len) {
   if (color_type != kColorGray && color_type != kColorRgb)
-    return FEL_ECOLOR_TYPE;
+    return fel_fail(FEL_ECOLOR_TYPE, "unsupported color type");
   if (pixel_depth != kDepth8 && pixel_depth != kDepth16)
-    return FEL_EPIXEL_DEPTH;
+    return fel_fail(FEL_EPIXEL_DEPTH, "unsupported pixel depth");
   const CodingParams params = params_for_depth(pixel_depth);
   const int nchan = color_type == kColorGray ? 1 : 3;
 
@@ -809,7 +859,7 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
   for (const auto& s : streams) buf.insert(buf.end(), s.begin(), s.end());
 
   uint8_t* result = static_cast<uint8_t*>(malloc(buf.size() ? buf.size() : 1));
-  if (!result) return FEL_ENOMEM;
+  if (!result) return fel_fail(FEL_ENOMEM, "out of memory");
   memcpy(result, buf.data(), buf.size());
   *out = result;
   *out_len = buf.size();
@@ -819,32 +869,41 @@ int fel_compress_tiled(const int32_t* pixels, uint32_t width, uint32_t height,
 int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
                          int32_t** out_pixels, uint32_t* width,
                          uint32_t* height, int* color_type, int* pixel_depth) {
-  if (len < kTiledFixedHeader) return FEL_EIO;
-  if (memcmp(data, "FLCT", 4) != 0) return FEL_ESIGNATURE;
+  if (len < kTiledFixedHeader)
+    return fel_fail(FEL_EIO, "FLCT header truncated");
+  if (memcmp(data, "FLCT", 4) != 0)
+    return fel_fail(FEL_ESIGNATURE, "not a FLCT file (bad signature)");
   const int color = data[4];
   const int depth = data[5];
-  if (color != kColorGray && color != kColorRgb) return FEL_ECOLOR_TYPE;
-  if (depth != kDepth8 && depth != kDepth16) return FEL_EPIXEL_DEPTH;
+  if (color != kColorGray && color != kColorRgb)
+    return fel_fail(FEL_ECOLOR_TYPE, "FLCT header: unknown color type");
+  if (depth != kDepth8 && depth != kDepth16)
+    return fel_fail(FEL_EPIXEL_DEPTH, "FLCT header: unknown pixel depth");
   const uint32_t w = read_u32be(data + 6);
   const uint32_t h = read_u32be(data + 10);
   const uint32_t tw = (data[14] << 8) | data[15];
   const uint32_t th = (data[16] << 8) | data[17];
   const uint32_t flags = (data[18] << 8) | data[19];
   const uint32_t n_tiles = read_u32be(data + 20);
-  if (flags & ~kKnownFlags) return FEL_EINVALID_VALUE;
+  if (flags & ~kKnownFlags)
+    return fel_fail(FEL_EINVALID_VALUE, "FLCT header: unknown flags");
 
   const uint64_t total64 = static_cast<uint64_t>(w) * h;
-  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  if (total64 > (1ull << 31))
+    return fel_fail(FEL_EDIMENSIONS, "image exceeds 2^31 pixels");
   // Validate tile geometry BEFORE any division (a zeroed tile_h would trap
   // with SIGFPE) and require the header's n_tiles to match the grid the
   // dims imply — the Python read_tiled_header enforces the same.
-  if (th < 2 || tw < 2) return FEL_EDIMENSIONS;
+  if (th < 2 || tw < 2)
+    return fel_fail(FEL_EDIMENSIONS, "FLCT tile dims below the minimum (2)");
   {
     const uint64_t expect =
         total64 == 0 ? 0
                      : (static_cast<uint64_t>(h) + th - 1) / th *
                            ((static_cast<uint64_t>(w) + tw - 1) / tw);
-    if (n_tiles != expect) return FEL_EDIMENSIONS;
+    if (n_tiles != expect)
+      return fel_fail(FEL_EDIMENSIONS,
+                      "FLCT n_tiles does not match the tile grid");
   }
   const int nchan = color == kColorGray ? 1 : 3;
   const CodingParams params = params_for_depth(depth);
@@ -856,7 +915,8 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
   std::vector<uint32_t> prior;  // (nchan * nb * K); empty = zero seed
   if (flags & kFlagKPrior) {
     const size_t nbytes = (static_cast<size_t>(nchan) * nb + 1) / 2;
-    if (len < pos + nbytes) return FEL_EIO;
+    if (len < pos + nbytes)
+      return fel_fail(FEL_EIO, "FLCT k-prior block truncated");
     prior.assign(static_cast<size_t>(nchan) * nb * K, 0);
     for (size_t i = 0; i < static_cast<size_t>(nchan) * nb; ++i) {
       uint32_t k0 = (i % 2 == 0) ? (data[pos + i / 2] >> 4)
@@ -872,11 +932,12 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
     pos += nbytes;
   }
   const size_t entry = (flags & kFlagTableU16) ? 2 : 4;
-  if (len < pos + entry * n_tiles) return FEL_EIO;
+  if (len < pos + entry * n_tiles)
+    return fel_fail(FEL_EIO, "FLCT tile table truncated");
 
   int32_t* result = static_cast<int32_t*>(
       malloc(total64 ? total64 * nchan * sizeof(int32_t) : 4));
-  if (!result) return FEL_ENOMEM;
+  if (!result) return fel_fail(FEL_ENOMEM, "out of memory");
 
   if (total64 == 0 || n_tiles == 0) {
     *out_pixels = result;
@@ -902,7 +963,7 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
   const uint8_t* payload = table + entry * n_tiles;
   if (len < pos + entry * n_tiles + starts[n_tiles]) {
     free(result);
-    return FEL_EIO;
+    return fel_fail(FEL_EIO, "FLCT payload truncated");
   }
 
   CodingParams tiled_params = params;
@@ -966,6 +1027,10 @@ int fel_decompress_tiled(const uint8_t* data, size_t len, int n_threads,
   for (uint32_t t = 0; t < n_tiles; ++t) {
     if (statuses[t] != FEL_OK) {
       free(result);
+      // Worker threads report via per-tile codes (their thread_local
+      // detail dies with the pool); translate here with the tile index.
+      std::snprintf(g_err, sizeof(g_err), "tile %u: %s", t,
+                    code_detail(statuses[t]));
       return statuses[t];
     }
   }
@@ -1021,10 +1086,13 @@ extern "C" {
 int fel_qoi_encode(const uint8_t* pixels, uint32_t width, uint32_t height,
                    int channels, uint8_t** out, size_t* out_len) {
   using namespace qoi;
-  if (channels != 3 && channels != 4) return FEL_ECOLOR_TYPE;
-  if (width == 0 || height == 0) return FEL_EDIMENSIONS;
+  if (channels != 3 && channels != 4)
+    return fel_fail(FEL_ECOLOR_TYPE, "QOI input must have 3 or 4 channels");
+  if (width == 0 || height == 0)
+    return fel_fail(FEL_EDIMENSIONS, "QOI input has a zero dimension");
   const uint64_t total64 = static_cast<uint64_t>(width) * height;
-  if (total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  if (total64 > (1ull << 31))
+    return fel_fail(FEL_EDIMENSIONS, "image exceeds 2^31 pixels");
   const size_t total = static_cast<size_t>(total64);
 
   std::vector<uint8_t> buf;
@@ -1096,7 +1164,7 @@ int fel_qoi_encode(const uint8_t* pixels, uint32_t width, uint32_t height,
   buf.push_back(1);
 
   uint8_t* result = static_cast<uint8_t*>(malloc(buf.size()));
-  if (!result) return FEL_ENOMEM;
+  if (!result) return fel_fail(FEL_ENOMEM, "out of memory");
   memcpy(result, buf.data(), buf.size());
   *out = result;
   *out_len = buf.size();
@@ -1106,21 +1174,23 @@ int fel_qoi_encode(const uint8_t* pixels, uint32_t width, uint32_t height,
 int fel_qoi_decode(const uint8_t* data, size_t len, uint8_t** out,
                    uint32_t* width, uint32_t* height, int* channels) {
   using namespace qoi;
-  if (len < 14 + 8) return FEL_EIO;
+  if (len < 14 + 8) return fel_fail(FEL_EIO, "QOI header truncated");
   if (data[0] != 'q' || data[1] != 'o' || data[2] != 'i' || data[3] != 'f')
-    return FEL_ESIGNATURE;
+    return fel_fail(FEL_ESIGNATURE, "not a QOI file (bad signature)");
   const uint32_t w = (uint32_t(data[4]) << 24) | (uint32_t(data[5]) << 16) |
                      (uint32_t(data[6]) << 8) | data[7];
   const uint32_t h = (uint32_t(data[8]) << 24) | (uint32_t(data[9]) << 16) |
                      (uint32_t(data[10]) << 8) | data[11];
   const int ch = data[12];
-  if (ch != 3 && ch != 4) return FEL_ECOLOR_TYPE;
+  if (ch != 3 && ch != 4)
+    return fel_fail(FEL_ECOLOR_TYPE, "QOI header: unknown channel count");
   const uint64_t total64 = static_cast<uint64_t>(w) * h;
-  if (total64 == 0 || total64 > (1ull << 31)) return FEL_EDIMENSIONS;
+  if (total64 == 0 || total64 > (1ull << 31))
+    return fel_fail(FEL_EDIMENSIONS, "QOI header: invalid dimensions");
   const size_t total = static_cast<size_t>(total64);
 
   uint8_t* result = static_cast<uint8_t*>(malloc(total * ch));
-  if (!result) return FEL_ENOMEM;
+  if (!result) return fel_fail(FEL_ENOMEM, "out of memory");
 
   Px cache[64] = {};
   Px px;
@@ -1131,10 +1201,10 @@ int fel_qoi_decode(const uint8_t* data, size_t len, uint8_t** out,
     if (p < chunks_end) {
       const uint8_t b0 = data[p++];
       if (b0 == kOpRgb) {
-        if (p + 3 > chunks_end) { free(result); return FEL_EIO; }
+        if (p + 3 > chunks_end) { free(result); return fel_fail(FEL_EIO, "QOI chunk stream truncated"); }
         px.r = data[p++]; px.g = data[p++]; px.b = data[p++];
       } else if (b0 == kOpRgba) {
-        if (p + 4 > chunks_end) { free(result); return FEL_EIO; }
+        if (p + 4 > chunks_end) { free(result); return fel_fail(FEL_EIO, "QOI chunk stream truncated"); }
         px.r = data[p++]; px.g = data[p++]; px.b = data[p++]; px.a = data[p++];
       } else if ((b0 & 0xC0) == kOpIndex) {
         px = cache[b0 & 63];
@@ -1143,7 +1213,7 @@ int fel_qoi_decode(const uint8_t* data, size_t len, uint8_t** out,
         px.g += ((b0 >> 2) & 3) - 2;
         px.b += (b0 & 3) - 2;
       } else if ((b0 & 0xC0) == kOpLuma) {
-        if (p + 1 > chunks_end) { free(result); return FEL_EIO; }
+        if (p + 1 > chunks_end) { free(result); return fel_fail(FEL_EIO, "QOI chunk stream truncated"); }
         const uint8_t b1 = data[p++];
         const int dg = (b0 & 63) - 32;
         px.r += dg - 8 + ((b1 >> 4) & 15);
