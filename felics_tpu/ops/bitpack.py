@@ -147,9 +147,13 @@ def count_big_symbols(symbols: Symbols) -> jnp.ndarray:
     return jnp.sum((total_len > 32).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("b_pad", "n_big_pad"))
+@partial(jax.jit, static_argnames=("b_pad", "n_big_pad", "as_words"))
 def pack_bits_scatter(
-    symbols: Symbols, offsets: jnp.ndarray, b_pad: int, n_big_pad: int = 0
+    symbols: Symbols,
+    offsets: jnp.ndarray,
+    b_pad: int,
+    n_big_pad: int = 0,
+    as_words: bool = False,
 ) -> jnp.ndarray:
     """Scatter-add variant of the packer (same output as pack_bits).
 
@@ -250,6 +254,11 @@ def pack_bits_scatter(
     full = jnp.cumsum(diff[:-1], dtype=jnp.int32) > 0
     words = acc | jnp.where(full, _ONES, jnp.uint32(0))
 
+    if as_words:
+        # Logical big-endian uint32 words (word >> 24 = first stream byte)
+        # — the per-tile row contract of the Pallas engine / the sharded
+        # row-packed XLA engine (tiling._columns_to_payload consumes it).
+        return words
     shifted = jnp.stack(
         [words >> 24, words >> 16, words >> 8, words], axis=1
     ).astype(jnp.uint8)

@@ -27,6 +27,15 @@ from felics_tpu.format import PixelDepth
 from felics_tpu.ops.kscan_tiled import num_buckets
 from felics_tpu.parallel import tiling
 
+# Which internal path the last batch encode/decode actually took — the
+# serving profiler and engagement tests read this (the fast paths have
+# data-dependent eligibility, and a silent fallback to a slower path is
+# exactly the failure mode VERDICT r4 flagged on the rgb8/gray16 bench):
+#   encode: "images" (raw-pixel device fast path) | "fused" (host-prep +
+#           single-dispatch chain) | "split" (multi-dispatch) | "per-image"
+#   decode: "images" (device assembly) | "onepass" | "split" | "per-image"
+LAST_PATH = {"encode": None, "decode": None}
+
 
 def _prep_encode_batch(images: Sequence[np.ndarray], tile: TileConfig):
     """Host-side batch prep shared by the one-shot and pipelined encoders.
@@ -185,10 +194,12 @@ def compress_tiled_batch(
         prep_lite, p = fast
         res = tiling.encode_container_finish(p)
         if res is not None:
+            LAST_PATH["encode"] = "images"
             lengths, payload, k0s = res
             return _pack_batch_containers(prep_lite, lengths, payload, k0s)
     prep = _prep_encode_batch(images, tile)
     if prep is None:
+        LAST_PATH["encode"] = "per-image"
         return [tiling.compress_tiled_bytes(im, tile, engine) for im in images]
     # Whole chain on device (prior -> encode -> payload compaction), ONE
     # dispatch + ONE host sync when the fused fast path applies.
@@ -196,8 +207,10 @@ def compress_tiled_batch(
     p = _encode_dispatch(prep, engine)
     res = tiling.encode_container_finish(p) if p is not None else None
     if res is not None:
+        LAST_PATH["encode"] = "fused"
         lengths, payload, k0s = res
     else:
+        LAST_PATH["encode"] = "split"
         lengths, payload, k0s = _encode_batch_split(prep, engine)
     return _pack_batch_containers(prep, lengths, payload, k0s)
 
@@ -329,6 +342,7 @@ def _decompress_one_isolated(d: bytes, engine: str):
 def _decode_batch_impl(datas: Sequence[bytes], engine: str, isolate: bool):
     prep = _prep_decode_batch(datas)
     if prep is None:
+        LAST_PATH["decode"] = "per-image"
         if isolate:
             return [_decompress_one_isolated(d, engine) for d in datas]
         return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
@@ -336,6 +350,7 @@ def _decode_batch_impl(datas: Sequence[bytes], engine: str, isolate: bool):
     if p is not None:
         out = _finish_images_decode(tiling.decode_images_finish(p), isolate)
         if out is not None:
+            LAST_PATH["decode"] = "images"
             return out
     # Fused single-dispatch chain (expand + decode + clamp/narrow on
     # device, ONE fetch of the narrowed planes), then host-side assembly
@@ -350,8 +365,10 @@ def _decode_batch_impl(datas: Sequence[bytes], engine: str, isolate: bool):
         prep["cfg"], prep["priors"], prep["tile_group"], engine,
     )
     if res is not None:
+        LAST_PATH["decode"] = "onepass"
         bufs_np, bad_np = res
     else:
+        LAST_PATH["decode"] = "split"
         bufs_np, bad_np = _decode_batch_split(prep, engine)
     return _assemble_batch_images(prep, bufs_np, bad_np, isolate)
 

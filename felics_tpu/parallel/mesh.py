@@ -1,22 +1,29 @@
 """Device-mesh sharding for the tiled (FLCT) pipeline.
 
 Tiles are mutually independent, so the natural multi-chip layout is the tile
-axis sharded over a 1-D mesh (data parallelism over tiles):
+axis sharded over a 1-D mesh (data parallelism over tiles). BOTH production
+engines shard via ``jax.shard_map`` with ZERO device collectives (asserted
+from compiled HLO by the driver dry-run):
 
-  * analysis / kscan / symbolize: zero cross-device traffic — every op is
-    elementwise or per-(tile, channel) segmented, so GSPMD partitions them
-    trivially along the tile axis;
-  * offsets: the per-tile byte-length cumsum is the one genuinely global
-    step (equivalent to the all-gather-of-lengths in BASELINE.json's design);
-    it moves n_tiles scalars over ICI, nothing more;
-  * pack: each symbol writes only within its own tile's byte range, so
-    scatter traffic stays shard-local after the offset broadcast.
+  * Pallas engine (``_shardmap_encode_pallas`` / ``_shardmap_decode_pallas``):
+    each device runs the fused Mosaic kernels on its local tile slice;
+  * XLA engine (``_shardmap_encode_xla`` / ``_shardmap_decode_xla``): each
+    device runs the dense stage1/stage2 pipeline locally and packs every
+    tile into its own fixed-width word ROW (row-local offsets, no
+    cross-tile cumsum).
 
-``fused_encode_step`` is the whole encoder as ONE jittable program with
-static worst-case paddings (no host syncs) — the form used for pjit over a
-mesh, for ahead-of-time compilation, and for the driver's multi-chip dry-run.
-The host-synced dynamic-shape path in tiling.py remains the single-chip
-production encoder (tighter paddings → less wasted work).
+Both emit (n_tiles, W) word rows + per-tile lengths sharded over the tile
+axis; the container's byte-offset cumsum runs on the HOST over the gathered
+4·n_tiles-byte length vector — that result gather is the only cross-device
+movement, and it is output materialization, not an inner-loop exchange.
+
+``fused_encode_step`` is additionally the whole encoder as ONE jittable
+program with static worst-case paddings (no host syncs) — the single-chip
+pjit/AOT form. Under GSPMD its global payload scatter compiles to
+all-reduces over the payload buffer (HLO-measured in the dry-run), which is
+why the sharded/multihost paths use the row-packed shard_map engines
+instead. The host-synced dynamic-shape path in tiling.py remains the
+single-chip production encoder (tighter paddings → less wasted work).
 """
 
 from __future__ import annotations
@@ -294,17 +301,77 @@ def fused_encode_step(
     return packed, tile_bytes, total_bytes
 
 
-def worst_case_payload_bits(n_tiles: int, c: int, t: int, cfg: CodingConfig) -> int:
-    """Loose but safe payload bound for fused (no-host-sync) encoding of
-    natural images: per pixel ≤ 2 marker + max(phase-in, k_max tail) bits
-    plus the worst Rice quotient amortized; we bound the quotient by noting
-    the adaptive estimator always has k_max available, whose quotient is
-    ≤ residual >> k_max < 2^(depth - k_max + 1)."""
+def _worst_tile_bits(c: int, t: int, cfg: CodingConfig) -> int:
+    """TRUE per-tile worst-case stream bits: per pixel ≤ 2 marker +
+    max(phase-in, k_max tail) bits plus the worst Rice quotient, bounded by
+    noting the adaptive estimator always has k_max available, whose
+    quotient is ≤ residual >> k_max < 2^(depth - k_max + 1)."""
     k_max = cfg.k_values[-1]
     depth = cfg.depth_bits
-    worst_pixel = 2 + max(cfg.max_phase_in_bits, (1 << (depth + 1 - k_max)) + 1 + k_max)
-    per_tile = c * (64 + (t - 2) * worst_pixel) + 7
-    return ((n_tiles * per_tile + 255) // 256) * 256
+    worst_pixel = 2 + max(
+        cfg.max_phase_in_bits, (1 << (depth + 1 - k_max)) + 1 + k_max
+    )
+    return c * (64 + (t - 2) * worst_pixel) + 7
+
+
+def worst_case_payload_bits(n_tiles: int, c: int, t: int, cfg: CodingConfig) -> int:
+    """Loose but safe payload bound for fused (no-host-sync) encoding."""
+    return ((n_tiles * _worst_tile_bits(c, t, cfg) + 255) // 256) * 256
+
+
+def xla_row_width(cfg: CodingConfig, t: int, c: int) -> int:
+    """Per-tile row width (uint32 words) for the shard-mapped XLA encode.
+    Unlike the Pallas engine's width HINT (overflow detected + retried),
+    this is the true worst-case bound — the row-packed XLA engine never
+    overflows and needs no retry round trip."""
+    return -(-_worst_tile_bits(c, t, cfg) // 32)
+
+
+def _shardmap_encode_xla(
+    tiles_dev, prior, mesh: Mesh, axis: str, th: int, tw: int, c: int,
+    cfg: CodingConfig, nb: int,
+):
+    """Per-shard XLA encode to per-tile word ROWS — the same output
+    contract as the shard-mapped Pallas engine, and like it COLLECTIVE-FREE
+    (the dryrun asserts this from compiled HLO): each device runs the dense
+    stage1/stage2 pipeline on its local tile slice and packs every tile
+    into its own fixed-width row (row-local offsets, no cross-tile cumsum).
+    The r4 form ran the monolithic ``fused_encode_step`` under GSPMD, whose
+    global payload scatter compiled to all-reduces over the whole payload
+    buffer (HLO-measured ~3.9 MB at 512 tiles vs the 2 KB length-cumsum
+    story — VERDICT r4 item 3); rows eliminate that by construction.
+
+    tiles_dev: (Lp, C, T) sharded over ``axis``; prior: (C, nb, K)
+    replicated OR (Lp, C, nb, K) sharded. Returns (words (Lp, W) uint32
+    big-endian rows sharded, tile_bytes (Lp,) int32 sharded)."""
+    t = th * tw
+    W = xla_row_width(cfg, t, c)
+    prior_spec = P() if prior.ndim == 3 else P(axis, None, None, None)
+
+    def local(tiles_l, prior_l):
+        L = tiles_l.shape[0]
+        pr = (
+            prior_l
+            if prior_l.ndim == 4
+            else jnp.broadcast_to(prior_l[None], (L, c, nb, cfg.num_k))
+        )
+        st1 = tiling._tiled_stage1(tiles_l, th, tw, nb)
+        flat, offsets, tile_bytes, _tot = tiling._tiled_stage2(
+            tiles_l, *st1, pr, th, tw, cfg, nb, row_words=W
+        )
+        words = bitpack.pack_bits_scatter(
+            flat, offsets, L * W * 32, as_words=True
+        )
+        return words.reshape(L, W), tile_bytes
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), prior_spec),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )
+    return f(tiles_dev, prior)
 
 
 def encode_tiled_sharded(
@@ -372,26 +439,17 @@ def encode_tiled_sharded(
         # None: width overflow or recorded kernel failure -> XLA engine
         # (same bytes; engine='pallas' kernel failures raised above).
 
-    prior = jnp.broadcast_to(
-        jnp.asarray(prior_np)[None],
-        (tiles_np.shape[0], c, nb, cfg.num_k),
+    # XLA engine: shard-mapped row-packed encode — collective-free like the
+    # Pallas engine (the r4 GSPMD form all-reduced the payload buffer).
+    prior_rep2 = jax.device_put(
+        jnp.asarray(prior_np), NamedSharding(mesh, P())
     )
-    (context, low, oor, residual, in_range, above, qctx) = (
-        tiling._tiled_stage1(tiles, th, tw, nb)
+    words, tile_bytes = _shardmap_encode_xla(
+        tiles, prior_rep2, mesh, axis, th, tw, c, cfg, nb
     )
-    flat, offsets, tile_bytes, total_bytes = tiling._tiled_stage2(
-        tiles, context, low, oor, residual, in_range, above, qctx, prior,
-        th, tw, cfg, nb,
-    )
-    n_big = bitpack.count_big_symbols(flat)
-    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
-    b_pad = bitpack.bucket_bits(total * 8)
-    n_big_pad = min(tiling._bucket_count(n_big), offsets.shape[0])
-    packed = bitpack.pack_bits_scatter(flat, offsets, b_pad, n_big_pad)
-
     tile_bytes_np = np.asarray(tile_bytes, dtype=np.int64)[:n_tiles]
-    payload_len = int(tile_bytes_np.sum())
-    payload = np.asarray(packed[:payload_len]).tobytes()
+    words_np = np.asarray(words)[:n_tiles]
+    payload = tiling._columns_to_payload(words_np, tile_bytes_np)
     LAST_ENGINE["encode"] = "xla"
     return tiling.pack_tiled_container(
         base.color_type, base.pixel_depth, w, h, tw, th, n_tiles,

@@ -4,16 +4,18 @@ The reference is a single-threaded, single-process program (SURVEY §2:
 "Parallelism / distributed inventory: none"); this module is the from-scratch
 distributed tier the TPU build adds (SURVEY §7 step 7): ``jax.distributed``
 process groups, a global 1-D tile mesh spanning every process's devices, and
-the fused all-static encode step running SPMD over it. The per-tile length
-cumsum inside the step is the one cross-device collective (the
-all-gather-of-lengths in BASELINE.json's design); GSPMD inserts it over
-ICI/DCN from the sharding annotations — no hand-written NCCL/MPI analog.
+shard-mapped per-device encode running SPMD over it. BOTH engines (Pallas
+kernels and the row-packed XLA pipeline, mesh._shardmap_encode_xla) emit
+per-tile word rows with ZERO device collectives — the dryrun asserts this
+from compiled HLO; the only cross-host exchange is the result allgather
+plus the host-side offsets assembly from per-tile lengths (4·n_tiles
+bytes) — no hand-written NCCL/MPI analog.
 
 Design constraints honored here:
 
-  * the encode graph is ALL-STATIC (``fused_encode_step`` with a
-    worst-case payload bound) — no host round-trip inside the step, so no
-    per-process divergence and no cross-host sync beyond the collectives;
+  * the encode graph is ALL-STATIC (fixed per-tile row width) — no host
+    round-trip inside the step, so no per-process divergence and no
+    cross-host sync beyond the result gather;
   * every process feeds the same host image (replicated input; the k-prior
     is a deterministic host computation, so the header is identical on all
     processes) and assembles the identical container — byte-equal to the
@@ -111,10 +113,6 @@ def encode_tiled_multihost(
 
     from felics_tpu.api import header_for_array
     from felics_tpu.parallel import mesh as mesh_mod
-    from felics_tpu.parallel.mesh import (
-        fused_encode_step,
-        worst_case_payload_bits,
-    )
 
     base = header_for_array(image)
     tile = tile or TileConfig()
@@ -147,6 +145,11 @@ def encode_tiled_multihost(
         tiles_np.shape, sharding, lambda idx: tiles_np[idx]
     )
 
+    prior_rep = jax.make_array_from_callback(
+        prior_np.shape,
+        NamedSharding(mesh, P()),
+        lambda idx: prior_np[idx],
+    )
     use_pallas = tiling._resolve_engine(engine) == "pallas"
     if use_pallas and engine != "pallas":
         # 'auto' in a process group: agree on the engine BEFORE the
@@ -155,11 +158,6 @@ def encode_tiled_multihost(
             tiling._pallas_usable("sharded-encode", (th, tw, c, cfg.pixel_depth))
         )
     if use_pallas:
-        prior_rep = jax.make_array_from_callback(
-            prior_np.shape,
-            NamedSharding(mesh, P()),
-            lambda idx: prior_np[idx],
-        )
         # deterministic_w: every process must compile the same W (the
         # width-hint cache is process-local mutable state); all other
         # inputs are replicated, so success/fallback stays in lockstep.
@@ -177,19 +175,19 @@ def encode_tiled_multihost(
                 n_tiles, tile_bytes_np, payload, k0,
             )
 
-    prior = jnp.asarray(prior_np)
-    b_pad = worst_case_payload_bits(nt_pad, c, t, cfg)
-    packed, tile_bytes, total = fused_encode_step(
-        tiles, th, tw, cfg, nb, b_pad, prior
+    # XLA engine: shard-mapped row-packed encode (collective-free, same
+    # contract as the Pallas engine; the r4 GSPMD fused step all-reduced
+    # the payload buffer across hosts).
+    words, tile_bytes = mesh_mod._shardmap_encode_xla(
+        tiles, prior_rep, mesh, axis, th, tw, c, cfg, nb
     )
-
-    # Materialize the (sharded) results on every host.
-    packed_np = np.asarray(multihost_utils.process_allgather(packed, tiled=True))
+    words_np = np.asarray(
+        multihost_utils.process_allgather(words, tiled=True)
+    )[:n_tiles]
     tile_bytes_np = np.asarray(
         multihost_utils.process_allgather(tile_bytes, tiled=True)
     ).astype(np.int64)[:n_tiles]
-    payload_len = int(tile_bytes_np.sum())
-    payload = packed_np[:payload_len].tobytes()
+    payload = tiling._columns_to_payload(words_np, tile_bytes_np)
     mesh_mod.LAST_ENGINE["encode"] = "xla"
     return tiling.pack_tiled_container(
         base.color_type, base.pixel_depth, w, h, tw, th, n_tiles,
@@ -221,11 +219,6 @@ def encode_corpus_multihost(
         _pack_batch_containers,
         _prep_encode_batch,
     )
-    from felics_tpu.parallel.mesh import (
-        fused_encode_step,
-        worst_case_payload_bits,
-    )
-
     images = list(images)
     if not images:
         return []
@@ -291,17 +284,19 @@ def encode_corpus_multihost(
             mesh_mod.LAST_ENGINE["encode"] = "pallas"
             return _pack_batch_containers(prep, lengths, payload, k0s)
 
-    b_pad = worst_case_payload_bits(nt_pad, c, t, cfg)
-    packed, tile_bytes, _total = fused_encode_step(
-        tiles, th, tw, cfg, nb, b_pad, prior
+    # XLA engine: shard-mapped row-packed encode with the per-tile priors
+    # riding the sharded tile axis (collective-free; see
+    # mesh._shardmap_encode_xla).
+    words, tile_bytes = mesh_mod._shardmap_encode_xla(
+        tiles, prior, mesh, axis, th, tw, c, cfg, nb
     )
-    packed_np = np.asarray(
-        multihost_utils.process_allgather(packed, tiled=True)
-    )
+    words_np = np.asarray(
+        multihost_utils.process_allgather(words, tiled=True)
+    )[:n_tiles]
     lengths = np.asarray(
         multihost_utils.process_allgather(tile_bytes, tiled=True)
     ).astype(np.int64)[:n_tiles]
-    payload = packed_np[: int(lengths.sum())].tobytes()
+    payload = tiling._columns_to_payload(words_np, lengths)
     mesh_mod.LAST_ENGINE["encode"] = "xla"
     return _pack_batch_containers(prep, lengths, payload, k0s)
 

@@ -472,14 +472,20 @@ def _tiled_stage1(tiles, th: int, tw: int, nb: int):
     return (context, low, oor, residual, in_range, above, qctx)
 
 
-@partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb"))
+@partial(jax.jit, static_argnames=("th", "tw", "cfg", "nb", "row_words"))
 def _tiled_stage2(
     tiles, context, low, oor, residual, in_range, above, qctx, prior,
-    th: int, tw: int, cfg: CodingConfig, nb: int,
+    th: int, tw: int, cfg: CodingConfig, nb: int, row_words: int = 0,
 ):
     """Symbols + per-tile/global offsets. ``prior``: (nt, C, nb, K) int32
     per-domain k-table seed (zeros = v0). Returns flat symbols, flat offsets,
-    per-tile byte lengths, total payload bytes."""
+    per-tile byte lengths, total payload bytes.
+
+    ``row_words`` > 0: ROW layout — tile i's stream starts at the fixed bit
+    offset i*row_words*32 instead of the compacted byte cumsum, so the
+    offsets depend only on data local to each tile (no cross-tile cumsum;
+    the shard-mapped XLA engine packs per-device rows with zero
+    collectives). The per-tile bytes are identical either way."""
     tiles = tiles.astype(jnp.int32)  # callers upload the narrow dtype
     nt, c, t = tiles.shape
     k = kscan_tiled(
@@ -524,7 +530,10 @@ def _tiled_stage2(
     ends = jnp.cumsum(lens, axis=1, dtype=jnp.int32)
     tile_bits = ends[:, -1]
     tile_bytes = (tile_bits + 7) >> 3
-    tile_starts = jnp.cumsum(tile_bytes) - tile_bytes  # exclusive, bytes
+    if row_words:
+        tile_starts = jnp.arange(nt, dtype=jnp.int32) * (row_words * 4)
+    else:
+        tile_starts = jnp.cumsum(tile_bytes) - tile_bytes  # exclusive, bytes
     within = ends - lens
     offsets = (tile_starts[:, None] << 3) + within
     total_bytes = tile_starts[-1] + tile_bytes[-1]

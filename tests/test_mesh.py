@@ -138,3 +138,62 @@ def test_fused_encode_step_matches_dynamic(rng):
     payload_ref = reference[hdr.payload_off :]
     got = np.asarray(packed[: int(total)]).tobytes()
     assert got == payload_ref
+
+
+def test_shardmap_engines_compile_collective_free(rng):
+    """Both production sharded engines (Pallas kernels and the row-packed
+    XLA pipeline) must compile to ZERO device collectives — tiles are
+    independent, and the container's offsets assemble on the host from the
+    gathered per-tile lengths. The r4 form ran the monolithic
+    fused_encode_step under GSPMD, whose global payload scatter all-reduced
+    the whole payload buffer (HLO-measured ~3.9 MB at 512 tiles)."""
+    import re
+
+    from felics_tpu.config import tiled_config_for_depth
+    from felics_tpu.format import PixelDepth
+    from felics_tpu.ops import pallas_codec as pc
+    from felics_tpu.ops.kscan_tiled import num_buckets
+    from felics_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_tile_mesh()
+    n_dev = mesh.devices.size
+    th = tw = 16
+    t = th * tw
+    cfg = tiled_config_for_depth(PixelDepth.EIGHT)
+    nb = num_buckets(cfg)
+    nt = 8 * n_dev
+    img = smooth_image(rng, tw * 4, th * (nt // 4))
+    from felics_tpu.format import ColorType
+
+    tiles, _, _ = tiling._prepare_tiles(img, ColorType.GRAY, th, tw)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tl = jax.device_put(
+        jax.numpy.asarray(tiles), NamedSharding(mesh, P("tiles", None, None))
+    )
+    prior = jax.device_put(
+        jax.numpy.zeros((1, nb, cfg.num_k), jax.numpy.int32),
+        NamedSharding(mesh, P()),
+    )
+
+    def collectives(txt):
+        return re.findall(
+            r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+            r"|all-to-all)\(",
+            txt,
+        )
+
+    xla_fn = jax.jit(
+        lambda td, pr: mesh_mod._shardmap_encode_xla(
+            td, pr, mesh, "tiles", th, tw, 1, cfg, nb
+        )
+    )
+    assert collectives(xla_fn.lower(tl, prior).compile().as_text()) == []
+
+    W = pc.width_hint(cfg, t, 1)
+    pallas_fn = jax.jit(
+        lambda td, pr: mesh_mod._shardmap_encode_pallas(
+            td, pr, mesh, "tiles", th, tw, 1, W, cfg, not pc.on_tpu()
+        )
+    )
+    assert collectives(pallas_fn.lower(tl, prior).compile().as_text()) == []
