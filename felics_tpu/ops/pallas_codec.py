@@ -122,11 +122,16 @@ def kernel_plan(
     # lane-block grids never stack-OOM.
     state = nt_rows + 8 + _RING + nr
     best = None
-    for tgt in (512, 256, 128, 64):
+    # Sweep knobs (docs/DESIGN.md §7.1 headroom table): pin the chunk
+    # target / raise the lane-block cap without code edits.
+    _tgt_env = _os.environ.get("FELICS_TPU_CHUNK_TARGET")
+    targets = (int(_tgt_env),) if _tgt_env else (512, 256, 128, 64)
+    bcap = int(_os.environ.get("FELICS_TPU_LANE_BLOCK_CAP", 2048))
+    for tgt in targets:
         sc = _pick_chunk(t, tgt)
         per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
         b = _VMEM_BUDGET // max(per_lane, 1)
-        b = min(2048, (b // 128) * 128)
+        b = min(bcap, (b // 128) * 128)
         if b < 128:
             continue
         # Score by the FINAL lane block (after padding/block-count

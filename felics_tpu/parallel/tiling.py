@@ -666,6 +666,60 @@ def _compact_payload_jit(words, bits, cap: int):
     return out.reshape(-1), tile_bytes, total
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_payload_aligned_jit(words, bits, cap: int):
+    """WORD-ALIGNED device payload compaction: each tile's stream starts on
+    a 4-byte boundary (≤3 pad bytes per tile, stripped on the host by
+    ``_strip_word_alignment``), so every output word is ONE source word —
+    no per-word searchsorted and no cross-tile byte merges. The byte-exact
+    variant (``_compact_payload_jit``) slope-measured 92 ms on a 2048-tile
+    rgb8 batch (vs 5.6 ms for the encode kernel it followed!); this form is
+    one scatter + one cumsum + two gathers. Fetch grows by ≤3 B/tile.
+
+    Returns (payload (cap,) uint8, tile_bytes (L,) int32, padded total
+    bytes int32). Callers must check padded-total <= cap and retry bigger
+    otherwise (same contract as the exact variant)."""
+    assert cap % 4 == 0
+    L, W = words.shape
+    flat = words.reshape(L * W)
+    tile_bytes = (bits + 7) // 8
+    wlen = (tile_bytes + 3) // 4  # words per tile, aligned
+    wst = jnp.cumsum(wlen) - wlen  # word-aligned start of each tile
+    total_words = wst[-1] + wlen[-1]
+    nwords = cap // 4
+    # tile id per output word via scatter + cumsum: cnt[i] = #tiles with
+    # wst <= i (zero-length tiles double-scatter harmlessly — the LAST
+    # tile starting at a word wins, and empty tiles emit nothing).
+    cnt = jnp.zeros((nwords,), jnp.int32).at[wst].add(1, mode="drop")
+    tile = jnp.clip(jnp.cumsum(cnt) - 1, 0, L - 1)
+    i = jnp.arange(nwords, dtype=jnp.int32)
+    src = tile * W + (i - wst[tile])
+    cur = flat[jnp.clip(src, 0, L * W - 1)]
+    cur = jnp.where(i < total_words, cur, jnp.uint32(0))
+    out = jnp.stack(
+        [cur >> 24, cur >> 16, cur >> 8, cur], axis=1
+    ).astype(jnp.uint8)
+    return out.reshape(-1), tile_bytes, total_words * 4
+
+
+def _strip_word_alignment(pay_np: np.ndarray, tile_bytes: np.ndarray) -> bytes:
+    """Drop the ≤3 inter-tile pad bytes of an aligned device compaction,
+    yielding the exact concatenated payload (host-side, O(total) numpy)."""
+    tb = np.asarray(tile_bytes, np.int64)
+    padded = ((tb + 3) // 4) * 4
+    pads = padded - tb
+    n_pads = int(pads.sum())
+    if n_pads == 0:
+        return pay_np.tobytes()
+    ends = np.cumsum(padded)
+    # Flat indices of every pad byte: per tile, [end-pad, end).
+    base = np.repeat(ends - pads, pads)
+    off = np.arange(n_pads) - np.repeat(np.cumsum(pads) - pads, pads)
+    keep = np.ones(int(ends[-1]), bool)
+    keep[base + off] = False
+    return pay_np[: int(ends[-1])][keep].tobytes()
+
+
 @partial(jax.jit, static_argnames=("wd",))
 def _expand_columns_jit(payload_u8, starts, lens, wd: int):
     """Inverse of _compact_payload_jit: concatenated payload bytes back into
@@ -722,7 +776,7 @@ def _fused_encode_chain(
     words, bits = pc._encode_tiles_pallas(
         tiles.reshape(nt, c * t), *meta, prior, th, tw, c, W, cfg, interpret
     )
-    payload, _tb, total = _compact_payload_jit(words, bits, cap)
+    payload, _tb, total = _compact_payload_aligned_jit(words, bits, cap)
     return payload, bits, k0, total
 
 
@@ -747,7 +801,7 @@ def _fused_encode_chain_prior(
     words, bits = pc._encode_tiles_pallas(
         tiles.reshape(nt, c * t), *meta, prior, th, tw, c, W, cfg, interpret
     )
-    payload, _tb, total = _compact_payload_jit(words, bits, cap)
+    payload, _tb, total = _compact_payload_aligned_jit(words, bits, cap)
     return payload, bits, total
 
 
@@ -957,7 +1011,9 @@ def encode_container_finish(p):
             pc.observe_width(cfg, t, c, int(bits_np.max()))
             tb = ((bits_np + 7) // 8).astype(np.int64)
             observe_payload(cfg, t, c, int(tb.sum()) // nt)
-            return tb, pay_np[: int(total_i)].tobytes(), np.asarray(k0_np)
+            # total_i is the WORD-ALIGNED device compaction total; the ≤3
+            # pad bytes per tile are stripped here (host, O(total) numpy).
+            return tb, _strip_word_alignment(pay_np, tb), np.asarray(k0_np)
         else:
             cap = _bucket_bytes(int(total_i))  # cap overflow: exact retry
         try:
@@ -1376,7 +1432,7 @@ def encode_tiles_payload(
                 for _try in range(3):
                     if not on_device:
                         break
-                    pay_dev, _tb, total_dev = _compact_payload_jit(
+                    pay_dev, _tb, total_dev = _compact_payload_aligned_jit(
                         words, bits, cap
                     )
                     bits_np, extra_np, pay_np, total = jax.device_get(
@@ -1398,7 +1454,7 @@ def encode_tiles_payload(
                         )
                         return (
                             tile_bytes_np,
-                            pay_np[: int(total)].tobytes(),
+                            _strip_word_alignment(pay_np, tile_bytes_np),
                             extra_np,
                         )
                     cap = _bucket_bytes(int(total))  # cap overflow: retry

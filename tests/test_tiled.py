@@ -247,3 +247,35 @@ def test_onepass_toy_tiles_fall_back(rng):
     data = compress_tiled_bytes(img, tc, engine="pallas")
     assert data == compress_tiled_bytes(img, tc, engine="xla")
     np.testing.assert_array_equal(decompress_tiled_bytes(data), img)
+
+
+def test_aligned_device_compaction_matches_host(rng):
+    """_compact_payload_aligned_jit + _strip_word_alignment (the production
+    serving-path compaction since r5 — one gather instead of a per-word
+    searchsorted; slope-measured 92 ms -> ~10 ms on a 2048-tile rgb8 batch)
+    must reproduce the exact host payload after pad stripping."""
+    import jax.numpy as jnp
+
+    from felics_tpu.parallel import tiling
+
+    L, W = 37, 19
+    words = rng.integers(0, 2**32, (L, W), dtype=np.uint32)
+    bits = rng.integers(64, W * 32 + 1, (L,), dtype=np.int64)
+    tb = (bits + 7) // 8
+    for li in range(L):
+        nb = int(tb[li])
+        if nb % 4:
+            words[li, nb // 4] &= np.uint32(
+                (0xFFFFFFFF << (8 * (4 - nb % 4))) & 0xFFFFFFFF
+            )
+    ref = tiling._columns_to_payload(words, tb)
+    padded_total = int((((tb + 3) // 4) * 4).sum())
+    cap = tiling._bucket_bytes(padded_total)
+    pay, tbj, total = tiling._compact_payload_aligned_jit(
+        jnp.asarray(words), jnp.asarray(bits.astype(np.int32)), cap
+    )
+    pay, total = np.asarray(pay), int(total)
+    assert total == padded_total
+    np.testing.assert_array_equal(np.asarray(tbj), tb)
+    assert tiling._strip_word_alignment(pay, tb) == ref
+    assert not pay[total:].any()
