@@ -28,6 +28,7 @@ single-chip production encoder (tighter paddings → less wasted work).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional
 
@@ -55,6 +56,38 @@ def make_tile_mesh(devices=None, axis: str = "tiles") -> Mesh:
 LAST_ENGINE = {"encode": None, "decode": None}
 
 
+@functools.lru_cache(maxsize=128)
+def _encode_pallas_smfn(
+    mesh: Mesh, axis: str, th: int, tw: int, c: int, W: int,
+    cfg: CodingConfig, interpret: bool, prior_ndim: int, n_meta: int,
+):
+    """Cached jitted shard_map callable for the Pallas encode. Rebuilding
+    the shard_map closure per invocation re-traced + re-compiled every
+    call (measured 4.6 s/call vs 55 ms for the cached executable on a
+    1-device mesh); caching on the static configuration restores ordinary
+    jit executable reuse."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    prior_spec = P() if prior_ndim == 3 else P(axis, None, None, None)
+
+    def local(tiles_l, prior_l, *meta_l):
+        L = tiles_l.shape[0]
+        return pc._encode_tiles_pallas(
+            tiles_l.reshape(L, -1), *meta_l, prior_l, th, tw, c, W, cfg,
+            interpret,
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None, None), prior_spec, *([P()] * n_meta)),
+            out_specs=(P(axis, None), P(axis)),
+            check_vma=False,
+        )
+    )
+
+
 def _shardmap_encode_pallas(
     tiles_dev, prior, mesh: Mesh, axis: str, th: int, tw: int, c: int,
     W: int, cfg: CodingConfig, interpret: bool,
@@ -75,23 +108,36 @@ def _shardmap_encode_pallas(
         jax.device_put(jnp.asarray(m), NamedSharding(mesh, P()))
         for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)
     ]
-    prior_spec = P() if prior.ndim == 3 else P(axis, None, None, None)
-
-    def local(tiles_l, prior_l, *meta_l):
-        L = tiles_l.shape[0]
-        return pc._encode_tiles_pallas(
-            tiles_l.reshape(L, -1), *meta_l, prior_l, th, tw, c, W, cfg,
-            interpret,
-        )
-
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None, None), prior_spec, *([P()] * len(meta))),
-        out_specs=(P(axis, None), P(axis)),
-        check_vma=False,
+    f = _encode_pallas_smfn(
+        mesh, axis, th, tw, c, W, cfg, interpret, prior.ndim, len(meta)
     )
     return f(tiles_dev, prior, *meta)
+
+
+@functools.lru_cache(maxsize=128)
+def _decode_pallas_smfn(
+    mesh: Mesh, axis: str, th: int, tw: int, c: int, cfg: CodingConfig,
+    interpret: bool, n_meta: int,
+):
+    """Cached jitted shard_map callable for the Pallas decode (see
+    _encode_pallas_smfn for why)."""
+    from felics_tpu.ops import pallas_codec as pc
+
+    def local(cols_l, prior_l, *meta_l):
+        bufs = pc._decode_tiles_pallas(
+            cols_l, *meta_l, prior_l, th, tw, c, cfg, interpret
+        )
+        return bufs.reshape(cols_l.shape[0], c, th * tw)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), *([P()] * n_meta)),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )
+    )
 
 
 def _shardmap_decode_pallas(
@@ -107,19 +153,8 @@ def _shardmap_decode_pallas(
         jax.device_put(jnp.asarray(m), NamedSharding(mesh, P()))
         for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)
     ]
-
-    def local(cols_l, prior_l, *meta_l):
-        bufs = pc._decode_tiles_pallas(
-            cols_l, *meta_l, prior_l, th, tw, c, cfg, interpret
-        )
-        return bufs.reshape(cols_l.shape[0], c, th * tw)
-
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(), *([P()] * len(meta))),
-        out_specs=P(axis, None, None),
-        check_vma=False,
+    f = _decode_pallas_smfn(
+        mesh, axis, th, tw, c, cfg, interpret, len(meta)
     )
     return f(cols_dev, prior_rep, *meta)
 
@@ -242,6 +277,17 @@ def _shardmap_decode_xla(
     its local tiles from its local payload slice (the r3 design replicated
     the whole word buffer to every device; rows shard it instead)."""
     wd = cols_dev.shape[1]
+    f = _decode_xla_smfn(mesh, axis, th, tw, c, cfg, nb, wd)
+    return f(cols_dev, prior_rep)
+
+
+@functools.lru_cache(maxsize=128)
+def _decode_xla_smfn(
+    mesh: Mesh, axis: str, th: int, tw: int, c: int, cfg: CodingConfig,
+    nb: int, wd: int,
+):
+    """Cached jitted shard_map callable for the XLA sharded decode (see
+    _encode_pallas_smfn for why)."""
 
     def local(cols_l, prior_l):
         L = cols_l.shape[0]
@@ -251,14 +297,15 @@ def _shardmap_decode_xla(
             words, starts, th, tw, c, cfg, nb, prior_l[None]
         )
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=P(axis, None, None),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )
     )
-    return f(cols_dev, prior_rep)
 
 
 @partial(
@@ -344,9 +391,20 @@ def _shardmap_encode_xla(
     tiles_dev: (Lp, C, T) sharded over ``axis``; prior: (C, nb, K)
     replicated OR (Lp, C, nb, K) sharded. Returns (words (Lp, W) uint32
     big-endian rows sharded, tile_bytes (Lp,) int32 sharded)."""
+    f = _encode_xla_smfn(mesh, axis, th, tw, c, cfg, nb, prior.ndim)
+    return f(tiles_dev, prior)
+
+
+@functools.lru_cache(maxsize=128)
+def _encode_xla_smfn(
+    mesh: Mesh, axis: str, th: int, tw: int, c: int, cfg: CodingConfig,
+    nb: int, prior_ndim: int,
+):
+    """Cached jitted shard_map callable for the row-packed XLA encode (see
+    _encode_pallas_smfn for why)."""
     t = th * tw
     W = xla_row_width(cfg, t, c)
-    prior_spec = P() if prior.ndim == 3 else P(axis, None, None, None)
+    prior_spec = P() if prior_ndim == 3 else P(axis, None, None, None)
 
     def local(tiles_l, prior_l):
         L = tiles_l.shape[0]
@@ -364,14 +422,15 @@ def _shardmap_encode_xla(
         )
         return words.reshape(L, W), tile_bytes
 
-    f = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(axis, None, None), prior_spec),
-        out_specs=(P(axis, None), P(axis)),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis, None, None), prior_spec),
+            out_specs=(P(axis, None), P(axis)),
+            check_vma=False,
+        )
     )
-    return f(tiles_dev, prior)
 
 
 def encode_tiled_sharded(
