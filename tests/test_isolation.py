@@ -172,3 +172,27 @@ def test_scan_decoder_no_overrun_on_valid_stream(rng):
     np.testing.assert_array_equal(
         np.asarray(buf).reshape(12, 16).astype(np.uint8), img
     )
+
+
+def test_flct_batch_isolate_random_corruption_fuzz(rng):
+    """Random corruptions under on_error='isolate': every member either
+    decodes (good members ALWAYS byte-exact) or carries a
+    DecompressionError — never an exception escaping the call, never a
+    poisoned neighbour."""
+    from felics_tpu.parallel.batch import decompress_tiled_batch
+
+    imgs = [_smooth(rng, 48, 40) for _ in range(3)]
+    datas = [_flct(im) for im in imgs]
+    for _ in range(8):
+        victim = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, len(datas[victim])))
+        flip = bytes([datas[victim][pos] ^ (1 << int(rng.integers(0, 8)))])
+        bad = datas[victim][:pos] + flip + datas[victim][pos + 1 :]
+        blobs = [bad if i == victim else datas[i] for i in range(3)]
+        out = decompress_tiled_batch(blobs, on_error="isolate")
+        assert len(out) == 3
+        for i in range(3):
+            if i == victim:
+                assert isinstance(out[i], (np.ndarray, errors.DecompressionError))
+            else:
+                np.testing.assert_array_equal(out[i], imgs[i])
