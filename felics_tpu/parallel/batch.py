@@ -482,17 +482,30 @@ def decompress_tiled_stream(
     batches: Iterable[Sequence[bytes]],
     engine: str = "auto",
     depth: int = 2,
-) -> List[List[np.ndarray]]:
+    on_error: str = "raise",
+) -> List[List]:
     """Decode a stream of container batches with at most ``depth`` batches
-    in flight (lazy mirror of compress_tiled_stream)."""
-    results: List[List[np.ndarray]] = []
+    in flight (lazy mirror of compress_tiled_stream).
+
+    ``on_error="isolate"``: per-member isolation like
+    ``decompress_tiled_batch`` — corrupt members hold their
+    ``DecompressionError`` in place while the rest of each batch keeps the
+    pipelined fused path."""
+    if on_error not in ("raise", "isolate"):
+        raise ValueError("on_error must be 'raise' or 'isolate'")
+    isolate = on_error == "isolate"
+    results: List[List] = []
     pending: deque = deque()
 
-    def finish(prep, p, datas) -> List[np.ndarray]:
+    def finish_good(prep, p, datas) -> List:
         if prep is None:
+            if isolate:
+                return [_decompress_one_isolated(d, engine) for d in datas]
             return [tiling.decompress_tiled_bytes(d, engine) for d in datas]
         if p is not None and "out" in p:  # images fast path
-            out = _finish_images_decode(tiling.decode_images_finish(p))
+            out = _finish_images_decode(
+                tiling.decode_images_finish(p), isolate
+            )
             if out is not None:
                 return out
             p = None
@@ -500,14 +513,48 @@ def decompress_tiled_stream(
         if res is None:
             res = _decode_batch_split(prep, engine)
         bufs_np, bad_np = res
-        return _assemble_batch_images(prep, bufs_np, bad_np)
+        return _assemble_batch_images(prep, bufs_np, bad_np, isolate)
+
+    def finish(entry) -> List:
+        prep, p, datas, errmap, n_total, good_idx = entry
+        if datas:
+            try:
+                decoded = finish_good(prep, p, datas)
+            except errors.DecompressionError:
+                if not isolate:
+                    raise
+                decoded = [_decompress_one_isolated(d, engine) for d in datas]
+        else:
+            decoded = []
+        if not errmap:
+            return decoded
+        out: List = [None] * n_total
+        for i, e in errmap.items():
+            out[i] = e
+        for i, r in zip(good_idx, decoded):
+            out[i] = r
+        return out
 
     for datas in batches:
         datas = list(datas)
         while len(pending) >= depth:
-            results.append(finish(*pending.popleft()))
+            results.append(finish(pending.popleft()))
+        n_total = len(datas)
+        errmap: dict = {}
+        good_idx = list(range(n_total))
+        if isolate and datas:
+            good_idx = []
+            for i, d in enumerate(datas):
+                try:
+                    h = tiling.read_tiled_header(d)
+                    if len(d) - h.payload_off < int(h.tile_lengths.sum()):
+                        raise errors.IoError("truncated FLCT payload")
+                    good_idx.append(i)
+                except errors.DecompressionError as e:
+                    errmap[i] = e
+            datas = [datas[i] for i in good_idx]
         if not datas:
-            pending.append((None, None, []))
+            pending.append((None, None, [], errmap, n_total, good_idx))
             continue
         prep = _prep_decode_batch(datas)
         p = None
@@ -519,7 +566,7 @@ def decompress_tiled_stream(
                     prep["c"], prep["cfg"], prep["priors"],
                     prep["tile_group"], engine,
                 )
-        pending.append((prep, p, datas))
+        pending.append((prep, p, datas, errmap, n_total, good_idx))
     while pending:
-        results.append(finish(*pending.popleft()))
+        results.append(finish(pending.popleft()))
     return results

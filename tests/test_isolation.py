@@ -196,3 +196,35 @@ def test_flct_batch_isolate_random_corruption_fuzz(rng):
                 assert isinstance(out[i], (np.ndarray, errors.DecompressionError))
             else:
                 np.testing.assert_array_equal(out[i], imgs[i])
+
+
+def test_flct_stream_isolate(rng):
+    """Streaming decode with on_error='isolate': corrupt members fail in
+    place across batches; good members stay byte-exact and pipelined."""
+    from felics_tpu.parallel.batch import (
+        compress_tiled_stream,
+        decompress_tiled_stream,
+    )
+
+    imgs = [_smooth(rng, 48, 40) for _ in range(6)]
+    datas = [_flct(im) for im in imgs]
+    batches = [
+        [datas[0], datas[1][:-5], datas[2]],       # truncated member
+        [datas[3][:10], datas[4]],                 # truncated header
+        [datas[5]],
+    ]
+    out = decompress_tiled_stream(batches, on_error="isolate")
+    assert [len(b) for b in out] == [3, 2, 1]
+    np.testing.assert_array_equal(out[0][0], imgs[0])
+    assert isinstance(out[0][1], errors.DecompressionError)
+    np.testing.assert_array_equal(out[0][2], imgs[2])
+    assert isinstance(out[1][0], errors.DecompressionError)
+    np.testing.assert_array_equal(out[1][1], imgs[4])
+    np.testing.assert_array_equal(out[2][0], imgs[5])
+    # raise-mode equivalence on all-good streams
+    good = [[datas[0], datas[2]], [datas[4]]]
+    a = decompress_tiled_stream(good)
+    b = decompress_tiled_stream(good, on_error="isolate")
+    for ba, bb in zip(a, b):
+        for x, y in zip(ba, bb):
+            np.testing.assert_array_equal(x, y)
