@@ -137,108 +137,106 @@ def _group_offsets(symbols: Symbols, n_imgs: int):
     return offsets.reshape(-1), img_bytes, img_starts[-1] + img_bytes[-1]
 
 
-@jax.jit
-def _stack_extents(sus):
-    """One fetchable array of every channel's kscan extents (a single host
-    round trip replaces 2 syncs per channel — the tunnel RTT dominates
-    per-image encode cost otherwise)."""
-    return jnp.stack(
-        [jnp.stack([su.num_contexts, su.max_rank]) for su in sus]
-    )
+@partial(jax.jit, static_argnames=("height", "width"))
+def _analyze_sort_batch(chans, height: int, width: int):
+    """vmapped analysis + update sort over a (G, H*W) stack of same-shape
+    channels (lanes = every channel of every image in a shape group): ONE
+    dispatch regardless of batch size, where the per-channel form cost two
+    dispatches PER CHANNEL — the tunnel RTT (~25 ms/dispatch, no
+    pipelining) dominated batched FLCS encode otherwise."""
+    from felics_tpu.ops.kscan import sort_updates
+
+    def one(ch):
+        analysis = analyze_channel(ch, height, width)
+        return analysis, sort_updates(analysis.context, analysis.oor)
+
+    return jax.vmap(one)(chans)
+
+
+@partial(jax.jit, static_argnames=("height", "width", "cfg", "c_pad", "r_pad"))
+def _kscan_symbolize_batch(
+    analysis, chans, sus, height: int, width: int, cfg: CodingConfig,
+    c_pad: int, r_pad: int,
+):
+    """vmapped kscan + symbolize over the same (G, H*W) lanes. The pads
+    are the GROUP maxima (bucketized): padding only adds capacity — the
+    scan output is exact for every lane regardless, and lanes with zero
+    out-of-range pixels never read their (meaningless) k."""
+    from felics_tpu.ops.kscan import kscan
+
+    def one(a, ch, su):
+        k = kscan(a.context, a.oor, a.residual, su, cfg, c_pad, r_pad)
+        return symbolize(a, ch, k, height, width)
+
+    return jax.vmap(one)(analysis, chans, sus)
 
 
 def compress_images_bytes(images: Sequence[np.ndarray]) -> List[bytes]:
     """Batched multi-image FLCS encode: N containers from ~four device
-    round trips total (vs ~4 per image when encoding sequentially).
+    round trips PER SHAPE GROUP (vs ~4 per image when encoding
+    sequentially, and vs ~4 per CHANNEL in the r4 form — every per-channel
+    stage is now one vmapped dispatch over the group's channel lanes).
 
-    All analysis/sort dispatches go out asynchronously; the kscan extents of
-    every channel are fetched in ONE sync; all images' symbols pack into ONE
-    scatter program whose payload is split at per-image byte boundaries.
     Bytes are identical to per-image ``compress_image_bytes`` (reference
-    parity: one continuous bitstream per image, src/compression.rs:365-369).
-    Images may differ in shape; same-shape runs share jit cache entries.
+    parity: one continuous bitstream per image, src/compression.rs:365-369;
+    pinned by tests/test_batched_flcs.py). Images may differ in shape;
+    same-shape runs share jit cache entries.
     """
     from felics_tpu.api import header_for_array
-    from felics_tpu.ops.kscan import _bucket, kscan, sort_updates
+    from felics_tpu.ops.kscan import _bucket
     from felics_tpu.parallel.tiling import _bucket_count
 
     if not images:
         return []
     headers = [header_for_array(im) for im in images]
 
-    # Degenerate dims use the scalar raw-preamble path.
-    def _degenerate(im, hd):
-        return compress_image_bytes(im, hd)
-
-    # Phase 1: per-channel analysis + update sort (async dispatches).
-    per_image = []  # (header, cfg, [(channel, analysis, su) ...]) or bytes
-    all_sus = []
-    for im, hd in zip(images, headers):
+    # Group by shape/depth/color; degenerate dims use the scalar path.
+    groups: dict = {}  # (h, w, c, depth) -> [(image_index, header, image)]
+    results: List[bytes] = [b"" for _ in images]
+    for idx, (im, hd) in enumerate(zip(images, headers)):
         h, w = hd.height, hd.width
         if h * w < 2 or w == 0 or h == 0:
-            per_image.append(_degenerate(im, hd))
+            results[idx] = compress_image_bytes(im, hd)
             continue
-        cfg = config_for_depth(hd.pixel_depth)
-        chans = []
-        for chan in _image_channels(im, hd):
-            cj = jnp.asarray(chan, dtype=jnp.int32)
-            analysis = _analyze(cj, h, w)
-            su = sort_updates(analysis.context, analysis.oor)
-            chans.append((cj, analysis, su))
-            all_sus.append(su)
-        per_image.append((hd, cfg, chans))
-
-    # Phase 2: ONE extent sync for every channel of every image.
-    if all_sus:
-        extents = np.asarray(jax.device_get(_stack_extents(all_sus)))
-    si = 0
-
-    # Phase 3: kscan + symbolize per channel (async), grouped by shape for
-    # the shared packing program.
-    groups: dict = {}  # (h, w, c, depth) -> [(image_index, symbols_parts)]
-    results: List[bytes] = [b"" for _ in images]
-    for idx, item in enumerate(per_image):
-        if isinstance(item, bytes):
-            results[idx] = item
-            continue
-        hd, cfg, chans = item
-        h, w = hd.height, hd.width
-        parts = []
-        for cj, analysis, su in chans:
-            nc, mr = (int(x) for x in extents[si])
-            si += 1
-            if nc == 0 or mr == 0:
-                k = jnp.full(analysis.context.shape, cfg.k_values[-1], jnp.int32)
-            else:
-                k = kscan(
-                    analysis.context, analysis.oor, analysis.residual, su,
-                    cfg, _bucket(nc), _bucket(mr),
-                )
-            parts.append(_symbolize(analysis, cj, k, h, w))
-        symbols = _concat_symbols(parts) if len(parts) > 1 else parts[0]
         key = (h, w, hd.num_channels, hd.pixel_depth)
-        groups.setdefault(key, []).append((idx, hd, symbols))
+        groups.setdefault(key, []).append((idx, hd, im))
 
-    # Phase 4: one offsets+pack program per shape group, one payload fetch.
     for (h, w, c, depth), members in groups.items():
+        cfg = config_for_depth(depth)
         n_imgs = len(members)
-        symbols = (
-            _concat_symbols([m[2] for m in members])
-            if n_imgs > 1
-            else members[0][2]
+        # (G, n) lane stack: image-major, channel-major — the same order
+        # the per-image concatenation used, so flattening the vmapped
+        # symbol arrays reproduces the exact packing layout.
+        chans_np = np.stack(
+            [ch for _i, hd, im in members for ch in _image_channels(im, hd)]
+        ).astype(np.int32)
+        chans = jnp.asarray(chans_np)
+        analysis, sus = _analyze_sort_batch(chans, h, w)
+        nc_mr = jax.device_get((sus.num_contexts, sus.max_rank))  # ONE sync
+        c_pad = _bucket(max(1, int(np.max(nc_mr[0]))))
+        r_pad = _bucket(max(1, int(np.max(nc_mr[1]))))
+        sym_b = _kscan_symbolize_batch(
+            analysis, chans, sus, h, w, cfg, c_pad, r_pad
         )
-        offsets, img_bytes, total_bytes = _group_offsets(symbols, n_imgs)
-        n_big = bitpack.count_big_symbols(symbols)
-        total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
-        b_pad = bitpack.bucket_bits(total * 8)
-        n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
-        packed = bitpack.pack_bits_scatter(symbols, offsets, b_pad, n_big_pad)
-        payload = np.asarray(packed[:total]).tobytes()
-        lengths = np.asarray(img_bytes, dtype=np.int64)
-        pos = np.concatenate([[0], np.cumsum(lengths)])
-        for mi, (idx, hd, _) in enumerate(members):
-            results[idx] = header_bytes(hd) + payload[pos[mi] : pos[mi + 1]]
+        symbols = Symbols(*(f.reshape(-1) for f in sym_b))
+        _pack_group(symbols, members, n_imgs, results, _bucket_count)
     return results
+
+
+def _pack_group(symbols, members, n_imgs, results, _bucket_count):
+    """Offsets + one scatter pack program + one payload fetch for a
+    same-shape image group; split at per-image byte boundaries."""
+    offsets, img_bytes, total_bytes = _group_offsets(symbols, n_imgs)
+    n_big = bitpack.count_big_symbols(symbols)
+    total, n_big = (int(x) for x in jax.device_get((total_bytes, n_big)))
+    b_pad = bitpack.bucket_bits(total * 8)
+    n_big_pad = min(_bucket_count(n_big), offsets.shape[0])
+    packed = bitpack.pack_bits_scatter(symbols, offsets, b_pad, n_big_pad)
+    payload = np.asarray(packed[:total]).tobytes()
+    lengths = np.asarray(img_bytes, dtype=np.int64)
+    pos = np.concatenate([[0], np.cumsum(lengths)])
+    for mi, (idx, hd, _im) in enumerate(members):
+        results[idx] = header_bytes(hd) + payload[pos[mi] : pos[mi + 1]]
 
 
 # ---------------------------------------------------------------------------
