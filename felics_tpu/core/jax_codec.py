@@ -42,6 +42,10 @@ from felics_tpu.ops.kscan import compute_k
 
 _DTYPES = {PixelDepth.EIGHT: np.uint8, PixelDepth.SIXTEEN: np.uint16}
 
+# HBM budget (bytes) for the vmapped kscan queue scratch in the batched
+# FLCS encode; groups whose lanes would exceed it run in lane slices.
+_KSCAN_LANE_BUDGET = 1 << 31
+
 
 @partial(jax.jit, static_argnames=("height", "width"))
 def _analyze(channel, height: int, width: int):
@@ -215,9 +219,29 @@ def compress_images_bytes(images: Sequence[np.ndarray]) -> List[bytes]:
         nc_mr = jax.device_get((sus.num_contexts, sus.max_rank))  # ONE sync
         c_pad = _bucket(max(1, int(np.max(nc_mr[0]))))
         r_pad = _bucket(max(1, int(np.max(nc_mr[1]))))
-        sym_b = _kscan_symbolize_batch(
-            analysis, chans, sus, h, w, cfg, c_pad, r_pad
-        )
+        # kscan's queue scratch is (c_pad, r_pad) int32 PER LANE; cap the
+        # vmapped lanes so a big batch of busy images cannot multiply that
+        # into HBM exhaustion (slices recompile per distinct shape — only
+        # reached for huge groups).
+        G = chans.shape[0]
+        max_lanes = max(1, _KSCAN_LANE_BUDGET // max(c_pad * r_pad * 16, 1))
+        if G <= max_lanes:
+            sym_b = _kscan_symbolize_batch(
+                analysis, chans, sus, h, w, cfg, c_pad, r_pad
+            )
+        else:
+            parts = []
+            for s in range(0, G, max_lanes):
+                sl = slice(s, min(s + max_lanes, G))
+                parts.append(
+                    _kscan_symbolize_batch(
+                        jax.tree.map(lambda x: x[sl], analysis),
+                        chans[sl],
+                        jax.tree.map(lambda x: x[sl], sus),
+                        h, w, cfg, c_pad, r_pad,
+                    )
+                )
+            sym_b = jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
         symbols = Symbols(*(f.reshape(-1) for f in sym_b))
         _pack_group(symbols, members, n_imgs, results, _bucket_count)
     return results

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import felics_tpu
+from felics_tpu import api
 
 
 def smooth(rng, w, h, dtype=np.uint8, channels=None):
@@ -117,3 +118,25 @@ def test_batched_decode_flct_routing(rng):
     outs = felics_tpu.decompress_images_bytes(mixed)
     for im, out in zip(imgs, outs):
         np.testing.assert_array_equal(out, im)
+
+
+def test_batched_encode_lane_chunking_matches(rng, monkeypatch):
+    """When the kscan scratch budget forces the vmapped lanes into slices,
+    bytes must still equal the per-image encoder (the slicing is a memory
+    guard, not a semantic change)."""
+    from felics_tpu.core import jax_codec
+
+    monkeypatch.setattr(jax_codec, "_KSCAN_LANE_BUDGET", 1)  # 1 lane/slice
+    imgs = [
+        np.clip(
+            np.cumsum(np.cumsum(rng.integers(-6, 7, (24, 32)), 0), 1) + 128,
+            0, 255,
+        ).astype(np.uint8)
+        for _ in range(3)
+    ]
+    batched = jax_codec.compress_images_bytes(imgs)
+    singles = [
+        jax_codec.compress_image_bytes(im, api.header_for_array(im))
+        for im in imgs
+    ]
+    assert batched == singles
