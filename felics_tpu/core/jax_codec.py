@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import io
 from functools import partial
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -38,7 +38,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from felics_tpu.config import CodingConfig, TileConfig, tiled_config_for_depth
-from felics_tpu.format import ColorType
 from felics_tpu.ops import bitpack
 from felics_tpu.ops.kscan_tiled import num_buckets
 from felics_tpu.parallel import tiling

@@ -109,3 +109,35 @@ def test_batch_pallas_rgb_round_trip(rng):
     outs = decompress_tiled_batch(pal, engine="pallas")
     for im, out in zip(images, outs):
         np.testing.assert_array_equal(out, im)
+
+
+def test_fast_paths_engage_for_uniform_batches(rng):
+    """The serving fast paths have data-dependent eligibility; a silent
+    fallback to a slower path is exactly the r4 failure mode on the
+    rgb8/gray16 bench. Pin via batch.LAST_PATH that uniform same-shape
+    batches take the raw-pixel device path BOTH directions for all three
+    corpus classes (pallas engine; interpret mode on CPU)."""
+    from felics_tpu.parallel import batch
+
+    tc = TileConfig(16, 16)
+    cases = [
+        ((48, 64), np.uint8, 6),
+        ((48, 64, 3), np.uint8, 6),
+        ((48, 64), np.uint16, 700),
+    ]
+    for shape, dtype, step in cases:
+        imgs = []
+        for _ in range(3):
+            base = np.cumsum(
+                np.cumsum(rng.integers(-step, step + 1, shape), 0), 1
+            ).astype(np.int64)
+            imgs.append(
+                np.clip(base + np.iinfo(dtype).max // 2, 0,
+                        np.iinfo(dtype).max).astype(dtype)
+            )
+        blobs = batch.compress_tiled_batch(imgs, tc, engine="pallas")
+        assert batch.LAST_PATH["encode"] == "images", (shape, dtype)
+        outs = batch.decompress_tiled_batch(blobs, engine="pallas")
+        assert batch.LAST_PATH["decode"] == "images", (shape, dtype)
+        for a, b in zip(imgs, outs):
+            np.testing.assert_array_equal(a, b)
