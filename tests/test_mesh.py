@@ -197,3 +197,40 @@ def test_shardmap_engines_compile_collective_free(rng):
         )
     )
     assert collectives(pallas_fn.lower(tl, prior).compile().as_text()) == []
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_xla_row_width_bounds_worst_case_streams(rng, dtype):
+    """The row-packed XLA engine writes each tile into a fixed
+    xla_row_width row with NO overflow detection (unlike the Pallas width
+    hint) — the bound must hold for ANY input or streams would silently
+    truncate. Adversarial check: pure-noise (incompressible) and
+    alternating-extremes tiles must fit, and the sharded bytes must equal
+    the unsharded encoder's."""
+    from felics_tpu.config import tiled_config_for_depth
+    from felics_tpu.format import PixelDepth
+    from felics_tpu.parallel.mesh import (
+        decode_tiled_sharded,
+        encode_tiled_sharded,
+        xla_row_width,
+    )
+
+    hi = np.iinfo(dtype).max
+    pd = PixelDepth.EIGHT if dtype == np.uint8 else PixelDepth.SIXTEEN
+    cfg = tiled_config_for_depth(pd)
+    mesh = make_tile_mesh()
+    th = tw = 16
+    # Worst-case content: uniform noise over the full range, and a
+    # checkerboard of extremes (maximal contexts + maximal residuals).
+    noise = rng.integers(0, hi + 1, (32, 64)).astype(dtype)
+    checker = np.zeros((32, 64), dtype)
+    checker[::2, 1::2] = hi
+    checker[1::2, ::2] = hi
+    for img in (noise, checker):
+        data = encode_tiled_sharded(img, mesh, TILE16, engine="xla")
+        assert data == tiling.compress_tiled_bytes(img, TILE16, engine="xla")
+        hdr = tiling.read_tiled_header(data)
+        w_bound = xla_row_width(cfg, th * tw, 1) * 4
+        assert int(hdr.tile_lengths.max()) <= w_bound
+        out = decode_tiled_sharded(data, mesh, engine="xla")
+        np.testing.assert_array_equal(out, img)
