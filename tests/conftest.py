@@ -40,6 +40,8 @@ import pytest
 # boundary avoids the crash at the cost of a few recompiles.
 _CLEAR_CACHES_BEFORE = {
     "test_batch",
+    "test_differential",  # ~50 random-geometry interpret-Pallas compiles
+    "test_isolation",
     "test_mesh",
     "test_more_coverage",
     "test_pallas_codec",

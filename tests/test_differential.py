@@ -23,7 +23,13 @@ def _img(rng, h, w, dtype, channels):
 
 
 def test_differential_flct_engines_random_geometry(rng):
+    import jax
+
     for _ in range(6):
+        # Every geometry compiles fresh interpret-Pallas programs with zero
+        # reuse across iterations; dropping them each round avoids the
+        # accumulated-executables XLA:CPU segfault (docs/DESIGN.md §7.3).
+        jax.clear_caches()
         h = int(rng.integers(2, 90))
         w = int(rng.integers(2, 90))
         th = int(rng.integers(2, 33))
