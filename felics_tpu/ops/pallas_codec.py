@@ -129,6 +129,12 @@ def kernel_plan(
     bcap = int(_os.environ.get("FELICS_TPU_LANE_BLOCK_CAP", 2048))
     for tgt in targets:
         sc = _pick_chunk(t, tgt)
+        if sc % 8 != 0 and sc != c * t:
+            # Mosaic block rule: the (SC, B) pixel-chunk block needs its
+            # sublane dim divisible by 8 or equal to the full array dim —
+            # tiny odd tile planes (e.g. 2x1 rgb) otherwise crash the
+            # lowering; skip so such shapes fall back to the XLA engine.
+            continue
         per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
         b = _VMEM_BUDGET // max(per_lane, 1)
         b = min(bcap, (b // 128) * 128)
@@ -255,11 +261,9 @@ _SPILL = 16
 
 
 def _encode_kernel_body(
-    jmod_ref,
     row_a_ref,
     row_b_ref,
     pre_w_ref,
-    pre_sgn_ref,
     ci_ref,
     il_ref,
     vals_ref,
@@ -285,12 +289,20 @@ def _encode_kernel_body(
     NR: int,
     C: int,
     KB: int,
+    PRE: bool,
 ):
     """One grid program: encode SC pixels of B tile streams. The host calls
     this once per chunk (ci_ref = chunk index drives the vals block choice;
     il_ref flags the last chunk); per-lane coder state arrives and leaves as
     plain input/output arrays — Mosaic's layout assignment CHECK-fails on
-    values sourced from VMEM scratch, so no scratch is used at all."""
+    values sourced from VMEM scratch, so no scratch is used at all.
+
+    ``PRE`` (static): this chunk starts a plane (chunk base ≡ 0 mod t; SC | t
+    so chunks never straddle planes). The two raw preamble pixels then run
+    as straight-line code before the loop and the per-step body is the main
+    coding step ONLY — the former 3-way ``lax.switch`` and the jmod/pre_w
+    scalar reads are off the hot loop entirely. Two kernel variants compile
+    (plane-start / interior) instead of one."""
     base = ci_ref[0] * SC
     R, G = _RING, _SPILL
     rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
@@ -374,29 +386,6 @@ def _encode_kernel_body(
             (ring, spilled),
         )
         state = (acc0, acc1, nbits, wi, ring, spilled)
-        j = jmod_ref[gi]
-
-        def preamble(table, state):
-            # j == 0: depth-sized raw first two pixels (two's-complement
-            # truncated for the signed Co/Cg planes); k statistics restart
-            # from this plane's per-image prior (all-zero for v0 streams).
-            w = pre_w_ref[gi]
-            maskv = ((1 << w) - 1)
-            p0 = (vals_ref[i, :] & maskv).astype(jnp.uint32)
-            p1 = (vals_ref[i + 1, :] & maskv).astype(jnp.uint32)
-            state = append(state, p0, jnp.full((B,), 1, jnp.int32) * w)
-            state = append(state, p1, jnp.full((B,), 1, jnp.int32) * w)
-            ch = gi // t
-            NT_ = table.shape[0]
-            newt = prior_ref[0:NT_, :]
-            for ci2 in range(1, C):
-                newt = jnp.where(
-                    ch == ci2, prior_ref[ci2 * NT_ : (ci2 + 1) * NT_, :], newt
-                )
-            return newt, state
-
-        def skip(table, state):
-            return table, state
 
         def main(table, state):
             p = vals_ref[i, :]
@@ -480,9 +469,32 @@ def _encode_kernel_body(
             )
             return table, state
 
-        return jax.lax.switch(
-            jnp.minimum(j, 2), [preamble, skip, main], table, state
-        )
+        return main(table, state)
+
+    def preamble(table, state):
+        """Plane start (PRE chunks, steps 0-1): depth-sized raw first two
+        pixels (two's-complement truncated for the signed Co/Cg planes);
+        k statistics restart from this plane's per-image prior (all-zero
+        for v0 streams). Straight-line — runs once per plane-start chunk."""
+        nbr_out[base & (NR - 1), :] = vals_ref[0, :]
+        nbr_out[(base + 1) & (NR - 1), :] = vals_ref[1, :]
+        acc0, acc1, nbits, wi, ring, spilled = state
+        ring, spilled = maybe_spill(ring, spilled, wi)
+        state = (acc0, acc1, nbits, wi, ring, spilled)
+        w = pre_w_ref[base]
+        maskv = (1 << w) - 1
+        p0 = (vals_ref[0, :] & maskv).astype(jnp.uint32)
+        p1 = (vals_ref[1, :] & maskv).astype(jnp.uint32)
+        state = append(state, p0, jnp.full((B,), 1, jnp.int32) * w)
+        state = append(state, p1, jnp.full((B,), 1, jnp.int32) * w)
+        ch = base // t
+        NT_ = table.shape[0]
+        newt = prior_ref[0:NT_, :]
+        for ci2 in range(1, C):
+            newt = jnp.where(
+                ch == ci2, prior_ref[ci2 * NT_ : (ci2 + 1) * NT_, :], newt
+            )
+        return newt, state
 
     # Resume per-lane coder state from the chunk inputs.
     table0 = tab_in[:]
@@ -495,8 +507,10 @@ def _encode_kernel_body(
         jax.lax.bitcast_convert_type(ring_in[:], jnp.uint32),
         st_in[4, :],
     )
+    if PRE:
+        table0, state0 = preamble(table0, state0)
     table, (acc0, acc1, nbits, wi, ring, spilled) = jax.lax.fori_loop(
-        0, SC, step, (table0, state0)
+        2 if PRE else 0, SC, step, (table0, state0)
     )
 
     tab_out[:] = table
@@ -560,46 +574,52 @@ def _encode_tiles_pallas(
     )
     prior_lanes = pr.reshape(Lp, c * NT).T  # (c*NT, Lp)
 
-    kernel = functools.partial(
-        _encode_kernel_body,
-        SC=SC, W=W, B=B, t=t, nb=nb, K=K, NR=NR, C=c,
-        KB=_k_select_plan(K, cfg.depth_bits, t),
-    )
     lane = lambda b, *_: (0, b)
-    chunk = lambda b, jm, ra, rb, pw, ps, ci, il: (ci[0], b)
+    chunk = lambda b, ra, rb, pw, ci, il: (ci[0], b)
     state_specs = [
         pl.BlockSpec((NT, B), lane, memory_space=pltpu.VMEM),
         pl.BlockSpec((8, B), lane, memory_space=pltpu.VMEM),
         pl.BlockSpec((_RING, B), lane, memory_space=pltpu.VMEM),
         pl.BlockSpec((NR, B), lane, memory_space=pltpu.VMEM),
     ]
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
-            grid=(Lp // B,),
-            in_specs=[
-                pl.BlockSpec((SC, B), chunk, memory_space=pltpu.VMEM),
-                *state_specs,
-                pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
-                pl.BlockSpec((c * NT, B), lane, memory_space=pltpu.VMEM),
+
+    def make_call(pre: bool):
+        kernel = functools.partial(
+            _encode_kernel_body,
+            SC=SC, W=W, B=B, t=t, nb=nb, K=K, NR=NR, C=c,
+            KB=_k_select_plan(K, cfg.depth_bits, t), PRE=pre,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(Lp // B,),
+                in_specs=[
+                    pl.BlockSpec((SC, B), chunk, memory_space=pltpu.VMEM),
+                    *state_specs,
+                    pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((c * NT, B), lane, memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    *state_specs,
+                    pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, B), lane, memory_space=pltpu.VMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((NT, Lp), jnp.int32),
+                jax.ShapeDtypeStruct((8, Lp), jnp.int32),
+                jax.ShapeDtypeStruct((_RING, Lp), jnp.int32),
+                jax.ShapeDtypeStruct((NR, Lp), jnp.int32),
+                jax.ShapeDtypeStruct((W, Lp), jnp.uint32),
+                jax.ShapeDtypeStruct((8, Lp), jnp.int32),
             ],
-            out_specs=[
-                *state_specs,
-                pl.BlockSpec((W, B), lane, memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, B), lane, memory_space=pltpu.VMEM),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((NT, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((8, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((_RING, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((NR, Lp), jnp.int32),
-            jax.ShapeDtypeStruct((W, Lp), jnp.uint32),
-            jax.ShapeDtypeStruct((8, Lp), jnp.int32),
-        ],
-        interpret=interpret,
-    )
+            interpret=interpret,
+        )
+
+    # Two kernel variants: plane-start chunks (static straight-line preamble)
+    # and interior chunks (pure main loop). SC | t, so base % t == 0 decides.
+    calls = {}
     tab = jnp.zeros((NT, Lp), jnp.int32)
     st = jnp.zeros((8, Lp), jnp.int32)
     ring = jnp.zeros((_RING, Lp), jnp.int32)
@@ -607,12 +627,16 @@ def _encode_tiles_pallas(
     words = jnp.zeros((W, Lp), jnp.uint32)
     lens = None
     for ci in range(n_chunks):
+        pre = (ci * SC) % t == 0
+        if pre not in calls:
+            calls[pre] = make_call(pre)
         ci_a = jnp.full((1,), ci, jnp.int32)
         il_a = jnp.full((1,), 1 if ci == n_chunks - 1 else 0, jnp.int32)
-        tab, st, ring, nbr, words, lens = call(
-            jmod, row_a, row_b, pre_w, pre_sgn, ci_a, il_a,
+        tab, st, ring, nbr, words, lens = calls[pre](
+            row_a, row_b, pre_w, ci_a, il_a,
             vals, tab, st, ring, nbr, words, prior_lanes,
         )
+    del jmod, pre_sgn  # decode-side meta; the encode walk is now static
     return words[:, :L].T, lens[0, :L]
 
 
@@ -724,11 +748,8 @@ def _lane_block_full(S: int, W: int, c: int, cfg: CodingConfig, nt=None) -> int:
 
 
 def _decode_kernel_body(
-    jmod_ref,
     row_a_ref,
     row_b_ref,
-    pre_w_ref,
-    pre_sgn_ref,
     cols_ref,
     prior_ref,
     out_ref,
@@ -743,8 +764,17 @@ def _decode_kernel_body(
     C: int,
     NT: int,
     KB: int,
+    depth_bits: int,
 ):
-    """One grid program: decode B tile streams into (S, B) pixel planes."""
+    """One grid program: decode B tile streams into (S, B) pixel planes.
+
+    The pixel walk is split at the (static) plane boundaries: the two raw
+    preamble pixels of each plane run as straight-line code with their
+    width/signedness/prior rows resolved at trace time, and the per-plane
+    ``fori_loop`` body is the main coding step ONLY — no per-step
+    ``cond(j < 2, ...)`` branch and no jmod/pre_w/pre_sgn scalar reads
+    (they were ~3 SMEM reads + a Mosaic branch on every one of the S
+    sequential steps; docs/DESIGN.md §7.1)."""
     R, G = _RING, _SPILL
     rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)
     rows_r = jax.lax.broadcasted_iota(jnp.int32, (R, B), 0)
@@ -785,8 +815,7 @@ def _decode_kernel_body(
         )
         return ring, rbase + jnp.where(need, G, 0)
 
-    def step(i, carry):
-        table, pos, w0, w1, w2, ring, rbase = carry
+    def _refill_window(pos, ring, rbase):
         # Top up the ring so [wp, wp+4] stays resident through this step and
         # the next three: the check costs a vector->scalar any-reduce, so it
         # runs every 4th step with margin for 4 steps x <=2 words fast-path
@@ -804,13 +833,16 @@ def _decode_kernel_body(
             # hard-need lanes (wp0 >= rbase+R-12) all qualify.
             return refill(ring, rbase, (wp0 - rbase) >= G)
 
+        return jax.lax.while_loop(need_fill, do_fill, (ring, rbase))
+
+    def step(i, carry):
+        table, pos, w0, w1, w2, ring, rbase = carry
         ring, rbase = jax.lax.cond(
             (i & 3) == 0,
-            lambda st: jax.lax.while_loop(need_fill, do_fill, st),
+            lambda st: _refill_window(pos, st[0], st[1]),
             lambda st: st,
             (ring, rbase),
         )
-        j = jmod_ref[i]
         off = (pos & 31).astype(jnp.uint32)
         # Aligned 64-bit window at the cursor.
         carry1 = jnp.where(off > 0, w1 >> (jnp.uint32(32) - off), jnp.uint32(0))
@@ -824,27 +856,6 @@ def _decode_kernel_body(
             hi = _shl(win1, s - 32)
             x = jnp.where(s < 32, lo, hi)
             return _shr(x, 32 - n)
-
-        def preamble(table, pos):
-            # Depth-sized raw pixel; sign-extend the Co/Cg planes.
-            w = pre_w_ref[i]
-            sh = jnp.uint32(32 - w)
-            raw_u = win0 >> sh
-            raw = jax.lax.bitcast_convert_type(raw_u, jnp.int32)
-            sext = jax.lax.bitcast_convert_type(raw_u << sh, jnp.int32) >> (
-                32 - w
-            )
-            value = jnp.where(pre_sgn_ref[i] > 0, sext, raw)
-            # Restart the k statistics from this plane's per-image prior
-            # (all-zero for v0 streams).
-            ch = i // t
-            newt = prior_ref[0:NT, :]
-            for ci2 in range(1, C):
-                newt = jnp.where(
-                    ch == ci2, prior_ref[ci2 * NT : (ci2 + 1) * NT, :], newt
-                )
-            table = jnp.where(j == 0, newt[: nb * K, :], table)
-            return table, pos + w, value
 
         def main(table, pos):
             va = out_ref[row_a_ref[i], :]
@@ -979,13 +990,7 @@ def _decode_kernel_body(
                 has_overrun.astype(jnp.int32),
             )
 
-        def preamble_r(table, pos):
-            table, new_pos, value = preamble(table, pos)
-            return table, new_pos, value, ring, rbase, jnp.int32(0)
-
-        table, new_pos, value, ring, rbase, had_overrun = jax.lax.cond(
-            j < 2, preamble_r, main, table, pos
-        )
+        table, new_pos, value, ring, rbase, had_overrun = main(table, pos)
         out_ref[i, :] = value
 
         # Advance the 96-bit window to the new cursor word (ring reads; the
@@ -1029,6 +1034,39 @@ def _decode_kernel_body(
         w0, w1, w2 = st
         return (table, new_pos, w0, w1, w2, ring, rbase)
 
+    def preamble_step(ci, i, carry):
+        """Raw-pixel preamble (j < 2) of plane ``ci``, pixel row ``i`` — a
+        STATIC trace-time step: the field width, signedness, prior rows and
+        output row are compile-time constants. Runs twice per plane as
+        straight-line code, so the hot ``step`` loop carries none of it."""
+        table, pos, w0, w1, w2, ring, rbase = carry
+        ring, rbase = _refill_window(pos, ring, rbase)
+        off = (pos & 31).astype(jnp.uint32)
+        win0 = (w0 << off) | jnp.where(
+            off > 0, w1 >> (jnp.uint32(32) - off), jnp.uint32(0)
+        )
+        w = depth_bits + (1 if ci > 0 else 0)
+        raw_u = win0 >> jnp.uint32(32 - w)
+        if ci > 0:  # Co/Cg planes: signed w-bit two's complement
+            value = jax.lax.bitcast_convert_type(
+                raw_u << jnp.uint32(32 - w), jnp.int32
+            ) >> (32 - w)
+        else:
+            value = jax.lax.bitcast_convert_type(raw_u, jnp.int32)
+        if i == ci * t:
+            # j == 0: restart the k statistics from this plane's per-image
+            # prior (all-zero for v0 streams).
+            table = prior_ref[ci * NT : ci * NT + nb * K, :]
+        out_ref[i, :] = value
+        new_pos = pos + w
+        # The preamble consumes w <= 17 bits: the cursor moves <= one word.
+        go = (new_pos >> 5) > (pos >> 5)
+        nw = fetch_ring(ring, rbase, (pos >> 5) + 3)
+        w0n = _selu(go, w1, w0)
+        w1n = _selu(go, w2, w1)
+        w2n = _selu(go, nw, w2)
+        return (table, new_pos, w0n, w1n, w2n, ring, rbase)
+
     table0 = jnp.zeros((nb * K, B), jnp.int32)
     pos0 = jnp.zeros((B,), jnp.int32)
     all_lanes = jnp.ones((B,), bool)
@@ -1042,9 +1080,13 @@ def _decode_kernel_body(
     w0 = fetch_ring(ring0, rbase0, jnp.zeros((B,), jnp.int32))
     w1 = fetch_ring(ring0, rbase0, jnp.ones((B,), jnp.int32))
     w2 = fetch_ring(ring0, rbase0, jnp.full((B,), 2, jnp.int32))
-    jax.lax.fori_loop(
-        0, S, step, (table0, pos0, w0, w1, w2, ring0, rbase0)
-    )
+    carry = (table0, pos0, w0, w1, w2, ring0, rbase0)
+    for ci in range(C):
+        carry = preamble_step(ci, ci * t, carry)
+        if t > 1:
+            carry = preamble_step(ci, ci * t + 1, carry)
+        if t > 2:
+            carry = jax.lax.fori_loop(ci * t + 2, (ci + 1) * t, step, carry)
 
 
 @functools.partial(
@@ -1085,11 +1127,12 @@ def _decode_tiles_pallas(
         C=c,
         NT=NT,
         KB=_k_select_plan(K, cfg.depth_bits, t),
+        depth_bits=cfg.depth_bits,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=2,
             grid=(Lp // B,),
             in_specs=[
                 pl.BlockSpec((W, B), lambda b, *_: (0, b), memory_space=pltpu.VMEM),
@@ -1103,7 +1146,8 @@ def _decode_tiles_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((S, Lp), jnp.int32),
         interpret=interpret,
-    )(jmod, row_a, row_b, pre_w, pre_sgn, cols, prior_lanes)
+    )(row_a, row_b, cols, prior_lanes)
+    del jmod, pre_w, pre_sgn  # encode-side meta; the decode walk is static
     return out[:, :L].T
 
 

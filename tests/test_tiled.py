@@ -249,6 +249,25 @@ def test_onepass_toy_tiles_fall_back(rng):
     np.testing.assert_array_equal(decompress_tiled_bytes(data), img)
 
 
+def test_odd_tiny_rgb_tiles_fall_back_cleanly(rng):
+    """Odd tiny tile planes whose pixel-chunk block violates Mosaic's
+    sublane rule (e.g. 2x1 / 5x3 rgb: no chunk divisor of t is a multiple
+    of 8 and SC != c*t) must be rejected by kernel_plan: engine='auto'
+    silently uses XLA, engine='pallas' raises the descriptive ValueError —
+    previously both crashed inside the Pallas TPU lowering."""
+    import pytest
+
+    for shape, tile in [((6, 10, 3), (2, 1)), ((9, 15, 3), (5, 3))]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        tc = TileConfig(tile_h=tile[0], tile_w=tile[1])
+        bx = compress_tiled_bytes(img, tc, engine="xla")
+        ba = compress_tiled_bytes(img, tc, engine="auto")
+        assert ba == bx
+        np.testing.assert_array_equal(decompress_tiled_bytes(ba), img)
+        with pytest.raises(ValueError, match="VMEM kernel plan"):
+            compress_tiled_bytes(img, tc, engine="pallas")
+
+
 def test_aligned_device_compaction_matches_host(rng):
     """_compact_payload_aligned_jit + _strip_word_alignment (the production
     serving-path compaction since r5 — one gather instead of a per-word
