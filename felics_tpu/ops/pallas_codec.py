@@ -129,11 +129,13 @@ def kernel_plan(
     bcap = int(_os.environ.get("FELICS_TPU_LANE_BLOCK_CAP", 2048))
     for tgt in targets:
         sc = _pick_chunk(t, tgt)
-        if sc % 8 != 0 and sc != c * t:
+        if on_tpu() and sc % 8 != 0 and sc != c * t:
             # Mosaic block rule: the (SC, B) pixel-chunk block needs its
             # sublane dim divisible by 8 or equal to the full array dim —
             # tiny odd tile planes (e.g. 2x1 rgb) otherwise crash the
             # lowering; skip so such shapes fall back to the XLA engine.
+            # Interpret mode (off-TPU) has no such constraint, so the gate
+            # only binds where Mosaic actually compiles.
             continue
         per_lane = 4 * (2 * sc + 4 * W + 4 * state + 2 * c * nt_rows + 32)
         b = _VMEM_BUDGET // max(per_lane, 1)

@@ -249,23 +249,28 @@ def test_onepass_toy_tiles_fall_back(rng):
     np.testing.assert_array_equal(decompress_tiled_bytes(data), img)
 
 
-def test_odd_tiny_rgb_tiles_fall_back_cleanly(rng):
+def test_odd_tiny_rgb_tiles_rejected_by_plan_on_tpu(monkeypatch):
     """Odd tiny tile planes whose pixel-chunk block violates Mosaic's
     sublane rule (e.g. 2x1 / 5x3 rgb: no chunk divisor of t is a multiple
-    of 8 and SC != c*t) must be rejected by kernel_plan: engine='auto'
-    silently uses XLA, engine='pallas' raises the descriptive ValueError —
-    previously both crashed inside the Pallas TPU lowering."""
-    import pytest
+    of 8 and SC != c*t) must be rejected by kernel_plan when Mosaic will
+    actually compile (on TPU) — previously they crashed inside the Pallas
+    TPU lowering. Off-TPU the interpreter has no such constraint and the
+    plan stays available (the differential fuzz exercises those shapes)."""
+    from felics_tpu.config import tiled_config_for_depth
+    from felics_tpu.format import PixelDepth
+    from felics_tpu.ops import pallas_codec as pc
 
-    for shape, tile in [((6, 10, 3), (2, 1)), ((9, 15, 3), (5, 3))]:
-        img = rng.integers(0, 256, shape, dtype=np.uint8)
-        tc = TileConfig(tile_h=tile[0], tile_w=tile[1])
-        bx = compress_tiled_bytes(img, tc, engine="xla")
-        ba = compress_tiled_bytes(img, tc, engine="auto")
-        assert ba == bx
-        np.testing.assert_array_equal(decompress_tiled_bytes(ba), img)
-        with pytest.raises(ValueError, match="VMEM kernel plan"):
-            compress_tiled_bytes(img, tc, engine="pallas")
+    cfg = tiled_config_for_depth(PixelDepth.EIGHT)
+    # Off-TPU (this suite): odd plans allowed for the interpreter.
+    assert pc.kernel_plan(cfg, 2, 1, 3, 64) is not None
+    monkeypatch.setattr(pc, "on_tpu", lambda: True)
+    # On TPU: no divisor of t={2,15} is a multiple of 8 and SC != c*t.
+    assert pc.kernel_plan(cfg, 2, 1, 3, 64) is None
+    assert pc.kernel_plan(cfg, 5, 3, 3, 64) is None
+    # Aligned plans survive the gate: SC % 8 == 0 (t=64) or SC == c*t
+    # (gray 5x3: SC = t = 15 equals the full walk).
+    assert pc.kernel_plan(cfg, 8, 8, 3, 64) is not None
+    assert pc.kernel_plan(cfg, 5, 3, 1, 64) is not None
 
 
 def test_aligned_device_compaction_matches_host(rng):
