@@ -369,25 +369,19 @@ def _encode_kernel_body(
         nbits = nbits - 32 * emit.astype(jnp.int32)
         return (acc0, acc1, nbits, wi, ring, spilled)
 
-    def step(i, carry):
+    def step_core(i, carry):
+        """One main coding step WITHOUT the ring-headroom check — the caller
+        owns the every-4th-step spill cadence (macro_step hoists it to one
+        unconditional check per 4 unrolled steps; the generic fallback loop
+        keeps the per-step cond). The spill threshold (R-12) covers the
+        up-to-8 emits between cadenced checks (the unary drain loop
+        re-checks internally every iteration)."""
         table, state = carry
         gi = base + i
         # Every step publishes its pixel row to the causal-neighbour ring
         # (rows at most 2*tw back are read; NR > 2*tw so slots never collide
         # with still-needed rows).
         nbr_out[gi & (NR - 1), :] = vals_ref[i, :]
-        # Keep ring headroom for <=2 unconditional emits per step. The check
-        # costs a vector->scalar reduce, so it runs every 4th step only; the
-        # spill threshold (R-12) covers the up-to-8 emits in between (the
-        # unary drain loop re-checks internally every iteration).
-        acc0, acc1, nbits, wi, ring, spilled = state
-        ring, spilled = jax.lax.cond(
-            (i & 3) == 0,
-            lambda rs: maybe_spill(rs[0], rs[1], wi),
-            lambda rs: rs,
-            (ring, spilled),
-        )
-        state = (acc0, acc1, nbits, wi, ring, spilled)
 
         def main(table, state):
             p = vals_ref[i, :]
@@ -473,6 +467,36 @@ def _encode_kernel_body(
 
         return main(table, state)
 
+    def step(i, carry):
+        # Generic path: per-step cadenced spill check + one coding step.
+        table, state = carry
+        acc0, acc1, nbits, wi, ring, spilled = state
+        ring, spilled = jax.lax.cond(
+            (i & 3) == 0,
+            lambda rs: maybe_spill(rs[0], rs[1], wi),
+            lambda rs: rs,
+            (ring, spilled),
+        )
+        return step_core(i, (table, (acc0, acc1, nbits, wi, ring, spilled)))
+
+    def macro_step(base0):
+        """4 coding steps per loop iteration (trace-time unroll): the spill
+        check runs ONCE, unconditionally, at the macro start (same
+        i % 4 == 0 cadence and headroom margin as the per-step cond it
+        replaces), and the loop bookkeeping amortizes over 4 pixels."""
+
+        def body(m, carry):
+            table, state = carry
+            acc0, acc1, nbits, wi, ring, spilled = state
+            ring, spilled = maybe_spill(ring, spilled, wi)
+            carry = (table, (acc0, acc1, nbits, wi, ring, spilled))
+            i0 = base0 + 4 * m
+            for u in range(4):
+                carry = step_core(i0 + u, carry)
+            return carry
+
+        return body
+
     def preamble(table, state):
         """Plane start (PRE chunks, steps 0-1): depth-sized raw first two
         pixels (two's-complement truncated for the signed Co/Cg planes);
@@ -511,9 +535,23 @@ def _encode_kernel_body(
     )
     if PRE:
         table0, state0 = preamble(table0, state0)
-    table, (acc0, acc1, nbits, wi, ring, spilled) = jax.lax.fori_loop(
-        2 if PRE else 0, SC, step, (table0, state0)
-    )
+    lo = 2 if PRE else 0
+    carry0 = (table0, state0)
+    if SC >= lo + 4 and SC % 4 == 0:
+        # Unrolled hot path. PRE chunks: steps 2, 3 straight-line (static
+        # indices; no spill check due there — the preamble checked at step
+        # 0), then (SC-4)/4 macro steps; interior chunks: SC/4 macros.
+        if PRE:
+            carry0 = step_core(2, carry0)
+            carry0 = step_core(3, carry0)
+            lo = 4
+        table, (acc0, acc1, nbits, wi, ring, spilled) = jax.lax.fori_loop(
+            0, (SC - lo) // 4, macro_step(lo), carry0
+        )
+    else:
+        table, (acc0, acc1, nbits, wi, ring, spilled) = jax.lax.fori_loop(
+            lo, SC, step, carry0
+        )
 
     tab_out[:] = table
     st_out[:] = jnp.zeros_like(st_out)
@@ -837,14 +875,12 @@ def _decode_kernel_body(
 
         return jax.lax.while_loop(need_fill, do_fill, (ring, rbase))
 
-    def step(i, carry):
+    def step_core(i, carry):
+        """One main coding step WITHOUT the ring-refill check — the caller
+        owns the every-4th-step refill cadence (macro_step hoists it to one
+        unconditional check per 4 unrolled steps; the generic fallback loop
+        keeps the per-step cond)."""
         table, pos, w0, w1, w2, ring, rbase = carry
-        ring, rbase = jax.lax.cond(
-            (i & 3) == 0,
-            lambda st: _refill_window(pos, st[0], st[1]),
-            lambda st: st,
-            (ring, rbase),
-        )
         off = (pos & 31).astype(jnp.uint32)
         # Aligned 64-bit window at the cursor.
         carry1 = jnp.where(off > 0, w1 >> (jnp.uint32(32) - off), jnp.uint32(0))
@@ -1036,6 +1072,35 @@ def _decode_kernel_body(
         w0, w1, w2 = st
         return (table, new_pos, w0, w1, w2, ring, rbase)
 
+    def step(i, carry):
+        # Generic path: per-step cadenced refill + one coding step.
+        table, pos, w0, w1, w2, ring, rbase = carry
+        ring, rbase = jax.lax.cond(
+            (i & 3) == 0,
+            lambda st: _refill_window(pos, st[0], st[1]),
+            lambda st: st,
+            (ring, rbase),
+        )
+        return step_core(i, (table, pos, w0, w1, w2, ring, rbase))
+
+    def macro_step(base0):
+        """4 coding steps per loop iteration (trace-time unroll): the refill
+        check runs ONCE, unconditionally, at the macro start (same i % 4 == 0
+        cadence and headroom margin as the per-step cond it replaces), and
+        the loop bookkeeping amortizes over 4 pixels. base0: static plane
+        row offset; the m-th macro covers rows base0+4m .. base0+4m+3."""
+
+        def body(m, carry):
+            pos = carry[1]
+            ring, rbase = _refill_window(pos, carry[5], carry[6])
+            carry = carry[:5] + (ring, rbase)
+            i0 = base0 + 4 * m
+            for u in range(4):
+                carry = step_core(i0 + u, carry)
+            return carry
+
+        return body
+
     def preamble_step(ci, i, carry):
         """Raw-pixel preamble (j < 2) of plane ``ci``, pixel row ``i`` — a
         STATIC trace-time step: the field width, signedness, prior rows and
@@ -1087,7 +1152,16 @@ def _decode_kernel_body(
         carry = preamble_step(ci, ci * t, carry)
         if t > 1:
             carry = preamble_step(ci, ci * t + 1, carry)
-        if t > 2:
+        if t >= 8 and t % 4 == 0:
+            # Unrolled hot path: rows +2, +3 straight-line (static indices;
+            # no refill due at those rows — the preamble refilled at +0/+1),
+            # then (t-4)/4 macro steps of 4 pixels each.
+            carry = step_core(ci * t + 2, carry)
+            carry = step_core(ci * t + 3, carry)
+            carry = jax.lax.fori_loop(
+                0, (t - 4) // 4, macro_step(ci * t + 4), carry
+            )
+        elif t > 2:
             carry = jax.lax.fori_loop(ci * t + 2, (ci + 1) * t, step, carry)
 
 
