@@ -242,7 +242,7 @@ def tpu_bench(images, color, pd):
                 cr = jnp.roll(cols, rolls[r], axis=0)
                 outs.append(
                     pc._decode_tiles_pallas(
-                        cr, *meta, prior_j, th, tw, c, cfg, False
+                        cr, *meta[:2], prior_j, th, tw, c, cfg, False
                     )
                 )
             # Probe one element of EVERY rep's output: a rep whose result

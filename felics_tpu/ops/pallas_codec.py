@@ -99,12 +99,14 @@ def _best_block(bmax: int, nt) -> int:
 
 
 def kernel_plan(
-    cfg: CodingConfig, th: int, tw: int, c: int, W: int, nt=None
+    cfg: CodingConfig, th: int, tw: int, c: int, W: int, nt=None,
+    mosaic=None,
 ):
     """VMEM plan for the fused encode kernel: (SC, NR, B, n_chunks), or None
     when even a 128-lane block cannot fit (callers fall back to the XLA
     engine). ``nt``: actual lane count when known — B is then sized to it
-    (see _best_block).
+    (see _best_block). ``mosaic``: whether the kernel will lower through
+    Mosaic (enables its block-shape constraints); None = on_tpu().
 
     Accounting: double-buffered pixel chunk + stream block, single-buffered
     scratch (k-table, word ring, causal-neighbour ring, scalar state). The
@@ -129,7 +131,9 @@ def kernel_plan(
     bcap = int(_os.environ.get("FELICS_TPU_LANE_BLOCK_CAP", 2048))
     for tgt in targets:
         sc = _pick_chunk(t, tgt)
-        if on_tpu() and sc % 8 != 0 and sc != c * t:
+        if (on_tpu() if mosaic is None else mosaic) and (
+            sc % 8 != 0 and sc != c * t
+        ):
             # Mosaic block rule: the (SC, B) pixel-chunk block needs its
             # sublane dim divisible by 8 or equal to the full array dim —
             # tiny odd tile planes (e.g. 2x1 rgb) otherwise crash the
@@ -158,10 +162,12 @@ def kernel_plan(
 
 @functools.lru_cache(maxsize=64)
 def _meta_arrays(th: int, tw: int, c: int, depth_bits: int):
-    """Per-step prefetch scalars: jmod (pixel index within plane), the
-    absolute row indices of the two causal neighbours (self for j < 2), and
-    the preamble width/signedness for the step's plane (plane 0 unsigned
-    ``depth`` bits; Co/Cg planes signed ``depth+1``-bit two's complement)."""
+    """Per-step prefetch scalars: the absolute row indices of the two causal
+    neighbours (self for j < 2) and the preamble field width per plane
+    (plane 0 unsigned ``depth`` bits; Co/Cg planes signed ``depth+1``-bit
+    two's complement). The encode kernel consumes all three; decode needs
+    only the neighbour rows (its plane walk is fully static — pass
+    ``*meta[:2]``)."""
     t = th * tw
     a_idx, b_idx = neighbour_indices(th, tw, xp=np)
     i = np.arange(c * t, dtype=np.int64)
@@ -170,8 +176,7 @@ def _meta_arrays(th: int, tw: int, c: int, depth_bits: int):
     row_a = np.where(j >= 2, i - j + a_idx[j], i).astype(np.int32)
     row_b = np.where(j >= 2, i - j + b_idx[j], i).astype(np.int32)
     pre_w = (depth_bits + (ch > 0)).astype(np.int32)
-    pre_sgn = (ch > 0).astype(np.int32)
-    return j.astype(np.int32), row_a, row_b, pre_w, pre_sgn
+    return row_a, row_b, pre_w
 
 
 def _shl(v, s):
@@ -586,7 +591,7 @@ def _encode_kernel_body(
     jax.jit, static_argnames=("th", "tw", "c", "W", "cfg", "interpret")
 )
 def _encode_tiles_pallas(
-    tiles_ls, jmod, row_a, row_b, pre_w, pre_sgn, prior, th: int, tw: int,
+    tiles_ls, row_a, row_b, pre_w, prior, th: int, tw: int,
     c: int, W: int, cfg: CodingConfig, interpret: bool,
 ):
     """tiles_ls: (L, S) int32 tile channel planes; prior: (c, nb, K) or
@@ -603,7 +608,13 @@ def _encode_tiles_pallas(
     nb = min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
     K = cfg.num_k
     NT = -(-(nb * K) // 8) * 8
-    SC, NR, B, n_chunks = kernel_plan(cfg, th, tw, c, W, nt=L)
+    plan = kernel_plan(cfg, th, tw, c, W, nt=L, mosaic=not interpret)
+    if plan is None:
+        raise ValueError(
+            f"no Pallas kernel plan for {th}x{tw} tiles with {c} channel(s)"
+            " at this VMEM budget/width; use the XLA engine"
+        )
+    SC, NR, B, n_chunks = plan
     Lp = -(-L // B) * B
     vals = jnp.pad(tiles_ls, ((0, Lp - L), (0, 0))).T  # (S, Lp)
 
@@ -676,7 +687,6 @@ def _encode_tiles_pallas(
             row_a, row_b, pre_w, ci_a, il_a,
             vals, tab, st, ring, nbr, words, prior_lanes,
         )
-    del jmod, pre_sgn  # decode-side meta; the encode walk is now static
     return words[:, :L].T, lens[0, :L]
 
 
@@ -694,6 +704,11 @@ def encode_tiles(
     overflowing words safely). ``tiles``/``prior`` may be device arrays
     (kept on device — no host round trip) or numpy."""
     nt, c, t = tiles.shape
+    if t < 2:
+        raise ValueError(
+            "FLCT tile planes need >= 2 pixels (the raw preamble is two "
+            f"pixels per plane); got {th}x{tw}"
+        )
     meta = _meta_arrays(th, tw, c, cfg.depth_bits)
     if isinstance(tiles, jax.Array):
         tiles_ls = tiles.reshape(nt, c * t)
@@ -1169,7 +1184,7 @@ def _decode_kernel_body(
     jax.jit, static_argnames=("th", "tw", "c", "cfg", "interpret")
 )
 def _decode_tiles_pallas(
-    cols_lw, jmod, row_a, row_b, pre_w, pre_sgn, prior, th: int, tw: int,
+    cols_lw, row_a, row_b, prior, th: int, tw: int,
     c: int, cfg: CodingConfig, interpret: bool,
 ):
     """cols_lw: (L, W) uint32 per-tile stream words; prior: (c, nb, K) or
@@ -1223,7 +1238,6 @@ def _decode_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((S, Lp), jnp.int32),
         interpret=interpret,
     )(row_a, row_b, cols, prior_lanes)
-    del jmod, pre_w, pre_sgn  # encode-side meta; the decode walk is static
     return out[:, :L].T
 
 
@@ -1235,13 +1249,18 @@ def decode_tiles(
     ``prior``: (C, nb, K) int32 k-table seed shared by every tile (or
     (L, C, nb, K) per-tile); None = zeros (v0 streams)."""
     t = th * tw
+    if t < 2:
+        raise ValueError(
+            "FLCT tile planes need >= 2 pixels (the raw preamble is two "
+            f"pixels per plane); got {th}x{tw}"
+        )
     meta = _meta_arrays(th, tw, c, cfg.depth_bits)
     nb = min(int(cfg.max_context).bit_length(), QCTX_CAP) + 1
     if prior is None:
         prior = np.zeros((c, nb, cfg.num_k), np.int32)
     out = _decode_tiles_pallas(
         cols_lw,
-        *(jnp.asarray(m) for m in meta),
+        *(jnp.asarray(m) for m in meta[:2]),
         jnp.asarray(prior, jnp.int32),
         th,
         tw,

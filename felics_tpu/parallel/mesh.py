@@ -150,8 +150,8 @@ def _shardmap_decode_pallas(
 
     meta = [
         jax.device_put(jnp.asarray(m), NamedSharding(mesh, P()))
-        for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)
-    ]
+        for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)[:2]
+    ]  # decode reads only the neighbour rows (static plane walk)
     f = _decode_pallas_smfn(
         mesh, axis, th, tw, c, cfg, interpret, len(meta)
     )

@@ -1058,7 +1058,7 @@ def _fused_decode_chain(
     cols = _expand_columns_jit(payload_u8, starts, lens, wd)
     meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
     bufs = pc._decode_tiles_pallas(
-        cols, *meta, prior, th, tw, c, cfg, interpret
+        cols, *meta[:2], prior, th, tw, c, cfg, interpret
     )
     nt = starts.shape[0]
     bufs = bufs.reshape(nt, c, th * tw)
@@ -1156,7 +1156,7 @@ def _fused_decode_images_chain(
     cols = _expand_columns_jit(payload_u8, starts, lens, wd)
     meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
     bufs = pc._decode_tiles_pallas(
-        cols, *meta, prior, th, tw, c, cfg, interpret
+        cols, *meta[:2], prior, th, tw, c, cfg, interpret
     )
     bufs = bufs.reshape(n_imgs, ty * tx, c, th * tw)
     bound = (1 << cfg.depth_bits) - 1
@@ -1266,7 +1266,7 @@ def _fused_decode_image_chain(
     cols = _expand_columns_jit(payload_u8, starts, lens, wd)
     meta = [jnp.asarray(m) for m in pc._meta_arrays(th, tw, c, cfg.depth_bits)]
     bufs = pc._decode_tiles_pallas(
-        cols, *meta, prior, th, tw, c, cfg, interpret
+        cols, *meta[:2], prior, th, tw, c, cfg, interpret
     )
     bufs = bufs.reshape(starts.shape[0], c, th * tw)
     return _assemble_image(bufs, th, tw, c, ty, tx, h, w, depth_max)
