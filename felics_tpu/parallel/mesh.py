@@ -174,8 +174,8 @@ def sharded_pallas_encode_try(
     engine='auto' (recorded via _disable_pallas). Kernel failures under
     engine='pallas' raise.
 
-    ``gather(x)``: materialize a (possibly multi-process) sharded array on
-    this host. ``deterministic_w``: use only the static width bound — a
+    ``gather(x)``: materialize a (possibly multi-process) sharded array —
+    or a pytree of them, in one round trip — on this host. ``deterministic_w``: use only the static width bound — a
     multi-process job must pick W in LOCKSTEP, and the width-hint cache is
     process-local mutable state (an unrelated local encode would desync
     the shard_map shapes across processes).
@@ -204,10 +204,14 @@ def sharded_pallas_encode_try(
             words, bits = _shardmap_encode_pallas(
                 tiles, prior, mesh, axis, th, tw, c, W, cfg, not pc.on_tpu()
             )
-            bits_np = np.asarray(gather(bits)).astype(np.int64)[:n_tiles]
+            # ONE gather round trip for both results (the words transfer is
+            # wasted only on the rare width-overflow retry; fetching bits
+            # first to decide cost a full extra RTT on every call).
+            bits_g, words_g = gather((bits, words))
+            bits_np = np.asarray(bits_g).astype(np.int64)[:n_tiles]
             if int(bits_np.max()) <= W * 32:
                 pc.observe_width(cfg, t, c, int(bits_np.max()))
-                words_np = np.asarray(gather(words))[:n_tiles]
+                words_np = np.asarray(words_g)[:n_tiles]
                 return ((bits_np + 7) // 8).astype(np.int64), words_np
         return None  # width overflow: pathological stream -> XLA engine
     except Exception as e:
@@ -466,8 +470,6 @@ def encode_tiled_sharded(
     n_tiles = tiles_np.shape[0]
     c = tiles_np.shape[1]
     t = th * tw
-    k0 = tiling.compute_k0(tiles_np, th, tw, cfg, nb)
-    prior_np = tiling.prior_from_k0(k0, cfg, c)
     n_dev = mesh.devices.size
     pad_tiles = (-n_tiles) % n_dev
     if pad_tiles:
@@ -475,8 +477,13 @@ def encode_tiled_sharded(
             [tiles_np, np.zeros((pad_tiles,) + tiles_np.shape[1:], np.int32)]
         )
 
+    # Start the (async) tile upload FIRST, then compute the host k0 prior
+    # while the transfer is in flight — serialized, the ~20-30 ms host k0
+    # pass sat entirely ahead of the upload on the critical path.
     sharding = NamedSharding(mesh, P(axis, None, None))
     tiles = jax.device_put(jnp.asarray(tiles_np), sharding)
+    k0 = tiling.compute_k0(tiles_np[:n_tiles], th, tw, cfg, nb)
+    prior_np = tiling.prior_from_k0(k0, cfg, c)
 
     if tiling._resolve_engine(engine) == "pallas":
         prior_rep = jax.device_put(
@@ -484,7 +491,7 @@ def encode_tiled_sharded(
         )
         res = sharded_pallas_encode_try(
             tiles, prior_rep, mesh, axis, th, tw, c, cfg, n_tiles, engine,
-            gather=np.asarray, deterministic_w=False,
+            gather=jax.device_get, deterministic_w=False,
         )
         if res is not None:
             tile_bytes_np, words_np = res
